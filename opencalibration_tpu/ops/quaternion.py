@@ -174,7 +174,12 @@ def quat_boxplus(q, delta):
 
 
 def angle_between_unit_vectors(n1, n2):
-    """acos of clamped dot product; mirrors reference
-    include/opencalibration/relax/relax_cost_function.hpp:16-19."""
+    """Angle between unit vectors; same value as the reference's
+    acos(clamp(dot)) (reference relax_cost_function.hpp:16-19) but computed
+    as atan2(|n1 x n2|, n1.n2): numerically stable near 0 and pi, with
+    bounded gradients (acos' derivative blows up near parallel vectors and
+    stalls LM; the atan2 form gives the true geometric derivative)."""
     d = jnp.sum(n1 * n2, axis=-1)
-    return jnp.arccos(jnp.clip(d, -1.0 + 1e-12, 1.0 - 1e-12))
+    c = jnp.cross(n1, n2)
+    s = jnp.sqrt(jnp.maximum(jnp.sum(c * c, axis=-1), 1e-30))
+    return jnp.arctan2(s, d)

@@ -232,4 +232,11 @@ def ransac_homography_with_poses(
     )
     order = jnp.argsort(-scores, stable=True)
     quats = M.poses_to_quaternions(R[order])
-    return res, quats, t[order], scores[order]
+    # Frame conversion for the relax contract (rel_t in the *source* camera
+    # frame, see tests/test_relax.py relative_pose_edges): the decomposition
+    # yields t_H = R2^T (t1 - t2) in the dest frame; -R_H^T t_H = R1^T (t2 -
+    # t1) exactly. (The reference feeds the raw dest-frame t to its cost,
+    # reference relax_problem.cpp:324 — biased by the relative yaw; this
+    # conversion removes that bias at zero cost.)
+    t_src = -jnp.einsum("kji,kj->ki", R[order], t[order])
+    return res, quats, t_src, scores[order]

@@ -1,0 +1,179 @@
+"""Masked Levenberg-Marquardt solver over dense normal equations.
+
+The TPU-native replacement for Ceres' trust-region solve
+(reference src/relax/relax_problem.cpp:1390-1420, options at :29-37:
+SPARSE_NORMAL_CHOLESKY, max 100 iterations, initial trust region 1).
+
+Shape discipline: residual blocks are vmapped per-instance functions with
+*local* jacobians (jacfwd at delta = 0); each instance scatter-adds its
+L x L normal-equation contribution into a dense [T, T] system, which one
+Cholesky factorization solves per LM iteration. For the reference's group
+sizes (<= ~150 cameras + mesh, T on the order of 1e3) a dense solve on the
+MXU beats sparse bookkeeping by a wide margin; the multi-chip path shards
+*groups*, not the factorization.
+
+Robust losses use the standard IRLS approximation: residual and jacobian
+scaled by sqrt(rho'(s)), cost accumulated with the true rho — matching
+Ceres' Huber behavior to first order.
+
+Ceres-failure semantics: a residual block evaluating to NaN makes the
+candidate cost NaN, which the accept test rejects (as Ceres rejects steps
+whose cost functions fail).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from opencalibration_tpu.relax.blocks import BlockSpec
+from opencalibration_tpu.relax.tangent import RelaxParams, TangentLayout
+
+DEFAULT_MAX_ITERATIONS = 100  # reference relax_problem.cpp:32
+
+
+def _huber_rho_and_weight(s, delta):
+    """Ceres HuberLoss: rho(s) = s for s <= d^2 else 2 d sqrt(s) - d^2;
+    weight rho'(s) = min(1, d / sqrt(s))."""
+    if delta is None:
+        return s, jnp.ones_like(s)
+    d2 = delta * delta
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-30))
+    rho = jnp.where(s <= d2, s, 2.0 * delta * sqrt_s - d2)
+    w = jnp.where(s <= d2, 1.0, delta / sqrt_s)
+    return rho, w
+
+
+def _block_values(params: RelaxParams, blk: BlockSpec):
+    """Residuals at delta=0 for every instance: [B, R]."""
+    L = blk.slots.shape[1]
+    dtype = params.quats.dtype
+
+    def one(data_slice):
+        return blk.resid_one(jnp.zeros(L, dtype), data_slice, params)
+
+    return jax.vmap(one)(blk.data)
+
+
+def block_cost(params: RelaxParams, blk: BlockSpec):
+    r = _block_values(params, blk)
+    s = jnp.sum(r * r, axis=-1)
+    rho, _ = _huber_rho_and_weight(s, blk.huber_delta)
+    w = blk.weight
+    # NaN residual on an active instance poisons the cost (Ceres-failure)
+    rho = jnp.where(w > 0, rho, 0.0)
+    return 0.5 * jnp.sum(rho * w)
+
+
+def total_cost(params: RelaxParams, blocks: Sequence[BlockSpec]):
+    return sum(block_cost(params, b) for b in blocks)
+
+
+def _block_hg(params: RelaxParams, blk: BlockSpec, H, g, free_mask):
+    L = blk.slots.shape[1]
+    dtype = params.quats.dtype
+
+    def one(data_slice):
+        f = lambda d: blk.resid_one(d, data_slice, params)
+        z = jnp.zeros(L, dtype)
+        return f(z), jax.jacfwd(f)(z)
+
+    r, J = jax.vmap(one)(blk.data)  # [B, R], [B, R, L]
+    s = jnp.sum(r * r, axis=-1)
+    _, w_rob = _huber_rho_and_weight(s, blk.huber_delta)
+    w = blk.weight * w_rob
+    # guard non-finite instances out of the normal equations
+    finite = jnp.all(jnp.isfinite(r), axis=-1) & jnp.all(
+        jnp.isfinite(J), axis=(-2, -1)
+    )
+    w = jnp.where(finite, w, 0.0)
+    r = jnp.where(finite[:, None], r, 0.0)
+    J = jnp.where(finite[:, None, None], J, 0.0)
+
+    col_mask = free_mask[blk.slots].astype(dtype)  # [B, L]
+    Jm = J * col_mask[:, None, :]
+    JtJ = jnp.einsum("brl,brm->blm", Jm, Jm) * w[:, None, None]
+    Jtr = jnp.einsum("brl,br->bl", Jm, r) * w[:, None]
+    H = H.at[blk.slots[:, :, None], blk.slots[:, None, :]].add(JtJ)
+    g = g.at[blk.slots].add(Jtr)
+    return H, g
+
+
+def normal_equations(params: RelaxParams, blocks: Sequence[BlockSpec], layout, free_mask):
+    dtype = params.quats.dtype
+    T = layout.dim
+    H = jnp.zeros((T, T), dtype)
+    g = jnp.zeros((T,), dtype)
+    for blk in blocks:
+        H, g = _block_hg(params, blk, H, g, free_mask)
+    return H, g
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveInfo:
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def solve(
+    params: RelaxParams,
+    blocks: Sequence[BlockSpec],
+    layout: TangentLayout,
+    free_mask,
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+    init_lambda: float = 1.0,
+    parameter_tolerance: float = 1e-8,
+    function_tolerance: float = 1e-6,
+):
+    """Run LM to convergence (jit-compatible; data-dependent iteration count
+    via lax.while_loop). Returns (params, SolveInfo)."""
+    dtype = params.quats.dtype
+    free = jnp.asarray(free_mask)
+    T = layout.dim
+
+    cost0 = total_cost(params, blocks)
+
+    def cond(state):
+        _, _, it, done, _ = state
+        return (~done) & (it < max_iterations)
+
+    def body(state):
+        p, lam, it, done, cost = state
+        H, g = normal_equations(p, blocks, layout, free)
+        diag = jnp.clip(jnp.diag(H), 1e-10, 1e32)
+        # frozen slots: unit diagonal keeps the system SPD, zero gradient
+        frozen = ~free
+        A = H + lam * jnp.diag(diag)
+        A = A + jnp.diag(frozen.astype(dtype))
+        delta = -jnp.linalg.solve(A, g)
+        delta = jnp.where(free, delta, 0.0)
+
+        p_new = layout.retract(p, delta)
+        new_cost = total_cost(p_new, blocks)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost)
+
+        p = jax.tree.map(lambda a, b: jnp.where(accept, b, a), p, p_new)
+        cost_next = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12), jnp.minimum(lam * 4.0, 1e12))
+
+        step_small = jnp.max(jnp.abs(delta)) < parameter_tolerance
+        cost_flat = accept & (
+            (cost - new_cost) < function_tolerance * jnp.maximum(cost, 1e-30)
+        )
+        lam_stuck = lam > 1e10
+        done = step_small | cost_flat | lam_stuck
+        return (p, lam, it + 1, done, cost_next)
+
+    state0 = (
+        params,
+        jnp.asarray(init_lambda, dtype),
+        jnp.asarray(0, jnp.int32),
+        ~jnp.isfinite(cost0),
+        cost0,
+    )
+    p, _, iters, _, cost = jax.lax.while_loop(cond, body, state0)
+    return p, SolveInfo(initial_cost=cost0, final_cost=cost, iterations=iters)

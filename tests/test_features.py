@@ -1,0 +1,79 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opencalibration_tpu.ops import features as F
+from opencalibration_tpu.ops import hamming as H
+
+
+def textured_image(h=256, w=256, seed=0):
+    """Smooth random texture with strong blob structure."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(h // 8, w // 8))
+    img = np.kron(base, np.ones((8, 8)))
+    # smooth a bit
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img, 2.0)
+    img = (img - img.min()) / (img.max() - img.min())
+    return img.astype(np.float32)
+
+
+def test_detect_finds_blobs():
+    img = textured_image()
+    out = F.detect(jnp.asarray(img)[None], max_features=256)
+    n = int(out["valid"][0].sum())
+    assert n > 50
+    xy = np.asarray(out["xy"][0][np.asarray(out["valid"][0])])
+    assert xy[:, 0].min() >= 16 and xy[:, 0].max() < 256 - 16
+
+
+def test_detect_is_deterministic():
+    img = jnp.asarray(textured_image())[None]
+    a = F.detect(img, max_features=128)
+    b = F.detect(img, max_features=128)
+    np.testing.assert_array_equal(np.asarray(a["xy"]), np.asarray(b["xy"]))
+
+
+def test_extract_and_match_translated():
+    """Features of a translated image must match back to the original
+    (the contract the link stage depends on)."""
+    img = textured_image(320, 320, seed=1)
+    shift = 24
+    img2 = np.roll(img, (shift, shift), axis=(0, 1))
+
+    batch = jnp.asarray(np.stack([img, img2]))
+    feats = F.extract_features(batch, max_features=512)
+
+    d1, d2 = feats["descriptors"][0], feats["descriptors"][1]
+    v1, v2 = feats["valid"][0], feats["valid"][1]
+    idx2, dist, matched = H.match_descriptors(d1, d2, v1, v2)
+
+    m = np.asarray(matched)
+    assert m.sum() > 30, f"only {m.sum()} matches"
+    xy1 = np.asarray(feats["xy"][0])
+    xy2 = np.asarray(feats["xy"][1])
+    dxy = xy2[np.asarray(idx2)[m]] - xy1[m]
+    # majority of matches consistent with the translation
+    good = (np.abs(dxy - shift) < 3).all(axis=1)
+    assert good.mean() > 0.6, f"only {good.mean():.2f} consistent"
+
+
+def test_descriptor_rotation_tolerance():
+    """Orientation normalization: a 90-degree rotated copy still matches."""
+    img = textured_image(320, 320, seed=2)
+    img2 = np.rot90(img).copy()
+    batch = jnp.asarray(np.stack([img, img2]))
+    feats = F.extract_features(batch, max_features=512)
+    idx2, dist, matched = H.match_descriptors(
+        feats["descriptors"][0], feats["descriptors"][1],
+        feats["valid"][0], feats["valid"][1],
+    )
+    m = np.asarray(matched)
+    assert m.sum() > 20, f"only {m.sum()} matches under rotation"
+    # check spatial consistency under the rotation map (y, x) -> (W-1-x, y)
+    xy1 = np.asarray(feats["xy"][0])[m]
+    xy2 = np.asarray(feats["xy"][1])[np.asarray(idx2)[m]]
+    expected = np.stack([xy1[:, 1], 320 - 1 - xy1[:, 0]], axis=1)
+    good = (np.abs(xy2 - expected) < 3).all(axis=1)
+    assert good.mean() > 0.5, f"only {good.mean():.2f} spatially consistent"
