@@ -1,0 +1,162 @@
+"""Benchmark driver: end-to-end calibration compute throughput on the
+default (TPU) platform.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: images/sec through the full calibration compute path (batched
+feature extraction -> pairwise Hamming matching -> RANSAC homography +
+pose decomposition -> relative-orientation bundle adjustment) on a
+synthetic aerial survey, steady-state (post-compile).
+
+vs_baseline: the same workload timed on host CPU (single process) — the
+reference implementation is a single-CPU-node C++ pipeline, so TPU/CPU
+ratio on identical work is the honest proxy until the C++ reference is
+built and measured on this machine (BASELINE.md: reference publishes no
+absolute numbers).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+N_IMAGES = 24
+ROWS = 4
+NEIGHBOURS = 3
+
+
+def build_workload():
+    from tests.synthetic_survey import camera_grid, make_texture, render_views
+
+    cols = N_IMAGES // ROWS
+    tex = make_texture(0)
+    positions, quats = camera_grid(ROWS, cols, spacing=12.0)
+    views = render_views(tex, positions, quats)
+
+    pairs = []
+    for i in range(N_IMAGES):
+        d2 = np.sum((positions[:, :2] - positions[i, :2]) ** 2, axis=1)
+        for j in np.argsort(d2)[1 : NEIGHBOURS + 1]:
+            a, b = min(i, int(j)), max(i, int(j))
+            if (a, b) not in pairs:
+                pairs.append((a, b))
+    pairs = sorted(pairs)
+    pa = np.asarray([p[0] for p in pairs], np.int32)
+    pb = np.asarray([p[1] for p in pairs], np.int32)
+    return np.stack(views), positions, pa, pb
+
+
+def _model():
+    from tests.synthetic_survey import FOCAL, IMG_H, IMG_W
+    from opencalibration_tpu.types.camera import CameraModel
+
+    return CameraModel.create(
+        FOCAL, (IMG_W / 2, IMG_H / 2), pixels_cols=IMG_W, pixels_rows=IMG_H,
+        dtype=jnp.float32,
+    )
+
+
+@jax.jit
+def _link_all(desc, xy, valid, pa, pb):
+    from opencalibration_tpu.ops import distort as D
+    from opencalibration_tpu.ops import hamming as H
+    from opencalibration_tpu.ops import ransac as R
+
+    model = _model()
+
+    def one(a, b):
+        idx2, dist, matched = H.match_descriptors(desc[a], desc[b], valid[a], valid[b])
+        r1, r2 = D.distort_keypoints(xy[a], xy[b][idx2], model, model)
+        res, quats, ts, scores = R.ransac_homography_with_poses(
+            r1, r2, dist.astype(jnp.float32), matched, num_hypotheses=2048
+        )
+        return quats, ts, scores
+
+    return jax.vmap(one)(pa, pb)
+
+
+@jax.jit
+def _relax_all(positions, pa, pb, rel_quats, rel_ts, rel_scores):
+    from opencalibration_tpu.relax import blocks as B
+    from opencalibration_tpu.relax import lm
+    from opencalibration_tpu.relax.tangent import RelaxParams, TangentLayout
+
+    B_imgs = positions.shape[0]
+    layout = TangentLayout(B_imgs, 0, 0, 1)
+    DOWN = jnp.asarray([0.0, 1.0, 0.0, 0.0], jnp.float32)
+    params = RelaxParams.create(
+        jnp.tile(DOWN, (B_imgs, 1)), positions.astype(jnp.float32), dtype=jnp.float32
+    )
+    valid4 = rel_scores > 0.25 * rel_scores[:, :1]
+    blk = B.decomposed_rotation_block(
+        layout, pa, pb, rel_quats, rel_ts, rel_scores, valid4,
+        jnp.ones(pa.shape[0], jnp.float32),
+    )
+    down = B.downwards_prior_block(
+        layout, jnp.arange(B_imgs, dtype=jnp.int32), jnp.ones(B_imgs, jnp.float32)
+    )
+    free = layout.build_free_mask()
+    solved, info = lm.solve(
+        params, (blk, down), layout, free, init_lambda=0.1, max_iterations=50
+    )
+    return solved.quats
+
+
+def calibration_step(images, positions, pa, pb):
+    from opencalibration_tpu.ops import features as F
+
+    feats = F.extract_features(jnp.asarray(images), max_features=1024)
+    rel_quats, rel_ts, rel_scores = _link_all(
+        feats["descriptors"], feats["xy"], feats["valid"],
+        jnp.asarray(pa), jnp.asarray(pb),
+    )
+    return _relax_all(
+        jnp.asarray(positions, jnp.float32), jnp.asarray(pa), jnp.asarray(pb),
+        rel_quats, rel_ts, rel_scores,
+    )
+
+
+def time_platform(images, positions, pa, pb, repeats=3):
+    out = calibration_step(images, positions, pa, pb)
+    jax.block_until_ready(out)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = calibration_step(images, positions, pa, pb)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeats
+
+
+def main():
+    images, positions, pa, pb = build_workload()
+
+    tpu_time = time_platform(images, positions, pa, pb)
+    tpu_ips = N_IMAGES / tpu_time
+
+    cpu_ips = None
+    try:
+        cpu = jax.devices("cpu")
+        with jax.default_device(cpu[0]):
+            cpu_time = time_platform(images, positions, pa, pb, repeats=1)
+        cpu_ips = N_IMAGES / cpu_time
+    except Exception:
+        pass
+
+    result = {
+        "metric": "images/sec calibration compute (extract+match+ransac+relax), 24-image synthetic survey",
+        "value": round(tpu_ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

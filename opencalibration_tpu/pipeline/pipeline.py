@@ -1,0 +1,333 @@
+"""Pipeline facade + state machine.
+
+Re-implements the reference's Pipeline (reference src/pipeline/
+pipeline.cpp, pipeline.hpp:18-59) and its 12-state usm state machine
+(reference types/pipeline_state.hpp:9-23, transitions pipeline.cpp:387-419)
+as a plain Python state machine driving batched device stages.
+
+The INITIAL_PROCESSING software pipelining (pipeline.cpp:548-556: batch N
+loads while N-1 links and N-2 relaxes) maps to staggered id queues across
+iterate_once calls: host decode threads overlap the device work of the
+previous batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from opencalibration_tpu.geo.geo_coord import GeoCoord
+from opencalibration_tpu.pipeline.stages import (
+    LinkStage,
+    LoadStage,
+    RelaxStage,
+)
+from opencalibration_tpu.relax.problem_builder import RelaxOptions
+from opencalibration_tpu.types.camera import CameraModel
+from opencalibration_tpu.types.graph import MeasurementGraph, SurfaceModel
+from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+
+class PipelineState:
+    INITIAL_PROCESSING = "INITIAL_PROCESSING"
+    MESH_REFINEMENT = "MESH_REFINEMENT"
+    INITIAL_GLOBAL_RELAX = "INITIAL_GLOBAL_RELAX"
+    CAMERA_PARAMETER_RELAX = "CAMERA_PARAMETER_RELAX"
+    FINAL_GLOBAL_RELAX = "FINAL_GLOBAL_RELAX"
+    GENERATE_THUMBNAIL = "GENERATE_THUMBNAIL"
+    DENSIFY_MESH = "DENSIFY_MESH"
+    DENSE_MESH_RELAX = "DENSE_MESH_RELAX"
+    GENERATE_LAYERS = "GENERATE_LAYERS"
+    COLOR_BALANCE = "COLOR_BALANCE"
+    BLEND_LAYERS = "BLEND_LAYERS"
+    COMPLETE = "COMPLETE"
+
+    ORDER = [
+        INITIAL_PROCESSING, MESH_REFINEMENT, INITIAL_GLOBAL_RELAX,
+        CAMERA_PARAMETER_RELAX, FINAL_GLOBAL_RELAX, GENERATE_THUMBNAIL,
+        DENSIFY_MESH, DENSE_MESH_RELAX, GENERATE_LAYERS, COLOR_BALANCE,
+        BLEND_LAYERS, COMPLETE,
+    ]
+
+
+RELAX_MAX_ITERATIONS = 5  # reference pipeline.cpp:39
+FINAL_RELAX_MAX_ITERATIONS = 5  # reference pipeline.cpp:40
+
+# stage weights for global progress (reference pipeline.cpp:485-520)
+_STAGE_WEIGHTS = {
+    PipelineState.INITIAL_PROCESSING: 10.0,
+    PipelineState.MESH_REFINEMENT: 1.0,
+    PipelineState.INITIAL_GLOBAL_RELAX: 3.0,
+    PipelineState.CAMERA_PARAMETER_RELAX: 3.0,
+    PipelineState.FINAL_GLOBAL_RELAX: 3.0,
+    PipelineState.GENERATE_THUMBNAIL: 1.0,
+    PipelineState.DENSIFY_MESH: 2.0,
+    PipelineState.DENSE_MESH_RELAX: 2.0,
+    PipelineState.GENERATE_LAYERS: 4.0,
+    PipelineState.COLOR_BALANCE: 1.0,
+    PipelineState.BLEND_LAYERS: 4.0,
+    PipelineState.COMPLETE: 0.0,
+}
+
+
+@dataclasses.dataclass
+class StepCompletionInfo:
+    """Progress payload (reference pipeline/progress.hpp:36-52)."""
+
+    state: str
+    state_iteration: int
+    loaded_ids: List[int]
+    linked_ids: List[int]
+    relaxed_ids: List[int]
+    queue_size_remaining: int
+    activity: str
+    global_progress: float
+    local_progress: float
+    surfaces_updated: bool = False
+
+
+class Pipeline:
+    """reference pipeline.hpp:18-59 public surface."""
+
+    def __init__(self, batch_size: int = 10, parallelism: int = 8):
+        self.batch_size = batch_size
+        self.parallelism = parallelism
+        self.graph: MeasurementGraph = MeasurementGraph(seed=0)
+        self.geocoord = GeoCoord()
+        self.model_store: Dict[int, CameraModel] = {}
+        self._model_key_to_id: Dict[tuple, int] = {}
+        self.gps_positions: Dict[int, np.ndarray] = {}
+        self.surfaces: List[SurfaceModel] = []
+
+        self._add_queue: List[str] = []
+        self._state = PipelineState.INITIAL_PROCESSING
+        self._state_run_count = 0
+
+        self._load_stage = LoadStage()
+        self._link_stage = LinkStage()
+        self._relax_stage = RelaxStage()
+
+        self._prev_loaded_ids: List[int] = []
+        self._prev_linked_ids: List[int] = []
+
+        self.step_callback: Optional[Callable[[StepCompletionInfo], None]] = None
+
+        # stage-skip flags (reference pipeline.cpp:102-106 defaults)
+        self.skip_initial_global_relax = True
+        self.skip_camera_param_relax = False
+        self.skip_final_global_relax = False
+        self.skip_mesh_refinement = False
+        self.skip_dense_mesh = True
+        self.skip_orthomosaic = True
+
+    # --- public API -------------------------------------------------------
+    def add(self, paths: Sequence[str]):
+        self._add_queue.extend(paths)
+
+    def get_state(self) -> str:
+        return self._state
+
+    def state_run_count(self) -> int:
+        return self._state_run_count
+
+    def reset_state(self, state: str, run_count: int = 0):
+        self._state = state
+        self._state_run_count = run_count
+
+    def resume_from_state(self, target: str) -> bool:
+        """Rewind-only guard (reference pipeline.cpp:304-320)."""
+        order = PipelineState.ORDER
+        if order.index(target) <= order.index(self._state):
+            self._state = target
+            self._state_run_count = 0
+            return True
+        return False
+
+    def save_checkpoint(self, directory: str) -> bool:
+        from opencalibration_tpu.io.checkpoint import save_checkpoint
+
+        return save_checkpoint(directory, self)
+
+    def load_checkpoint(self, directory: str) -> bool:
+        from opencalibration_tpu.io.checkpoint import load_checkpoint
+
+        return load_checkpoint(directory, self)
+
+    def iterate_once(self) -> str:
+        state = self._state
+        handler = getattr(self, "_run_" + state.lower())
+        with PerformanceMeasure(f"state {state}"):
+            transition = handler()
+        if transition == "NEXT":
+            idx = PipelineState.ORDER.index(state)
+            self._state = PipelineState.ORDER[min(idx + 1, len(PipelineState.ORDER) - 1)]
+            self._state_run_count = 0
+        elif transition == "REPEAT":
+            self._state_run_count += 1
+        return self._state
+
+    def run_to_completion(self, max_iterations: int = 10000) -> str:
+        for _ in range(max_iterations):
+            if self._state == PipelineState.COMPLETE:
+                break
+            self.iterate_once()
+        return self._state
+
+    # --- progress ---------------------------------------------------------
+    def _emit(self, loaded, linked, relaxed, activity, local=1.0, surfaces_updated=False):
+        if self.step_callback is None:
+            return
+        order = PipelineState.ORDER
+        total = sum(_STAGE_WEIGHTS.values())
+        done = sum(_STAGE_WEIGHTS[s] for s in order[: order.index(self._state)])
+        current = _STAGE_WEIGHTS.get(self._state, 0.0) * max(0.0, min(1.0, local))
+        self.step_callback(
+            StepCompletionInfo(
+                state=self._state,
+                state_iteration=self._state_run_count,
+                loaded_ids=list(loaded),
+                linked_ids=list(linked),
+                relaxed_ids=list(relaxed),
+                queue_size_remaining=len(self._add_queue),
+                activity=activity,
+                global_progress=(done + current) / total,
+                local_progress=local,
+                surfaces_updated=surfaces_updated,
+            )
+        )
+
+    # --- states -----------------------------------------------------------
+    def _run_initial_processing(self) -> str:
+        batch = self._add_queue[: self.batch_size]
+        self._add_queue = self._add_queue[len(batch):]
+
+        self._load_stage.init(batch)
+        self._link_stage.init(self.graph, self.gps_positions, self._prev_loaded_ids)
+        self._relax_stage.init(
+            self.graph, self._prev_linked_ids, self.gps_positions,
+            self.model_store, relax_all=False, disable_parallelism=False,
+            options=RelaxOptions(orientation=True, ground_plane=True),
+        )
+
+        # host decode threads + device link/relax overlap
+        self._load_stage.run(self.parallelism)
+        self._link_stage.run(self.graph, self.model_store)
+        self._relax_stage.run_all(self.graph, self.surfaces)
+
+        loaded = self._load_stage.finalize(
+            self.graph, self.geocoord, self.model_store,
+            self._model_key_to_id, self.gps_positions,
+        )
+        linked = self._link_stage.finalize(self.graph)
+        relaxed = self._relax_stage.finalize(self.graph, self.model_store)
+        new_surfaces = self._relax_stage.surfaces()
+        if new_surfaces:
+            self.surfaces = [s for s in new_surfaces if s.mesh is not None or s.cloud]
+
+        total = self.graph.size_nodes() + len(self._add_queue)
+        local = self.graph.size_nodes() / total if total else 1.0
+        self._emit(loaded, linked, relaxed, "initial processing", local)
+
+        self._prev_loaded_ids = loaded
+        self._prev_linked_ids = linked
+        if self._add_queue or loaded or linked:
+            return "REPEAT"
+        return "NEXT"
+
+    def _run_mesh_refinement(self) -> str:
+        if self.skip_mesh_refinement:
+            return "NEXT"
+        from opencalibration_tpu.surface.refine import refine_surfaces
+
+        self.surfaces = refine_surfaces(self.surfaces)
+        self._emit([], [], [], "mesh refinement", 1.0, surfaces_updated=True)
+        return "NEXT"
+
+    def _global_relax(self, options: RelaxOptions, trim: Optional[int], last: bool) -> List[int]:
+        self._relax_stage.init(
+            self.graph, [], self.gps_positions, self.model_store,
+            relax_all=True, disable_parallelism=last, options=options,
+        )
+        if trim is not None:
+            self._relax_stage.trim_groups(trim)
+        self._relax_stage.run_all(self.graph, self.surfaces)
+        relaxed = self._relax_stage.finalize(self.graph, self.model_store)
+        surfaces = [
+            s for s in self._relax_stage.surfaces() if s.mesh is not None or s.cloud
+        ]
+        if surfaces:
+            self.surfaces = surfaces
+        return relaxed
+
+    def _run_initial_global_relax(self) -> str:
+        if self.skip_initial_global_relax:
+            return "NEXT"
+        relaxed = self._global_relax(
+            RelaxOptions(orientation=True, ground_mesh=True), None, False
+        )
+        self._emit([], [], relaxed, "initial global relax", surfaces_updated=True)
+        return "NEXT" if self._state_run_count >= RELAX_MAX_ITERATIONS else "REPEAT"
+
+    def _run_camera_parameter_relax(self) -> str:
+        if self.skip_camera_param_relax:
+            return "NEXT"
+        # option schedule by run count (reference pipeline.cpp:601-631)
+        rc = self._state_run_count
+        if rc <= 1:
+            options = RelaxOptions(orientation=True, ground_mesh=True, focal=True)
+        elif rc == 2:
+            options = RelaxOptions(
+                orientation=True, ground_mesh=True, focal=True, radial_tier=1
+            )
+        elif rc == 3:
+            options = RelaxOptions(
+                orientation=True, ground_mesh=True, focal=True, radial_tier=2
+            )
+        else:
+            options = RelaxOptions(
+                orientation=True, ground_mesh=True, focal=True,
+                principal=True, radial_tier=3,
+            )
+        relaxed = self._global_relax(options, trim=1, last=False)
+        self._emit([], [], relaxed, "camera parameter relax", surfaces_updated=True)
+        return "NEXT" if self._state_run_count >= RELAX_MAX_ITERATIONS else "REPEAT"
+
+    def _run_final_global_relax(self) -> str:
+        if self.skip_final_global_relax:
+            return "NEXT"
+        last = self._state_run_count >= FINAL_RELAX_MAX_ITERATIONS
+        relaxed = self._global_relax(
+            RelaxOptions(orientation=True, ground_mesh=True), None, last
+        )
+        self._emit([], [], relaxed, "final global relax", surfaces_updated=True)
+        return "NEXT" if last else "REPEAT"
+
+    def _run_generate_thumbnail(self) -> str:
+        self._emit([], [], [], "thumbnail")
+        return "NEXT"
+
+    def _run_densify_mesh(self) -> str:
+        if self.skip_dense_mesh:
+            return "NEXT"
+        return "NEXT"
+
+    def _run_dense_mesh_relax(self) -> str:
+        if self.skip_dense_mesh:
+            return "NEXT"
+        return "NEXT"
+
+    def _run_generate_layers(self) -> str:
+        return "NEXT"
+
+    def _run_color_balance(self) -> str:
+        return "NEXT"
+
+    def _run_blend_layers(self) -> str:
+        return "NEXT"
+
+    def _run_complete(self) -> str:
+        return "REPEAT"

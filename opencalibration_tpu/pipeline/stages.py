@@ -1,0 +1,526 @@
+"""Pipeline stages: load, link, relax.
+
+TPU-first re-design of reference src/pipeline/load_stage.cpp,
+link_stage.cpp, relax_stage.cpp. The reference expresses each stage as a
+list of per-item closures run under OpenMP; here each stage is
+host-orchestrated *batched device work*:
+
+* LoadStage: thread-pooled JPEG decode on host (cv2 releases the GIL; the
+  decode itself is native), then ONE batched feature-extraction call for
+  the whole batch of images;
+* LinkStage: candidate pairs matched and RANSAC'd in vmapped chunks with
+  padded per-image feature subsets;
+* RelaxStage: spectral clustering into bounded groups (reference
+  relax_stage.cpp:48-57), each group solved as one dense-LM device
+  problem with frozen-boundary halos, surfaces merged at finalize.
+
+Determinism contract (reference SURVEY section 2.3 item 6): every stage
+sorts its results into canonical order before mutating the graph.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import functools
+import json
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from opencalibration_tpu.extract.image_loader import (
+    DecodedImage,
+    camera_model_kwargs,
+    features_from_device,
+    load_and_decode,
+    pad_gray_batch,
+)
+from opencalibration_tpu.geo.geo_coord import GeoCoord
+from opencalibration_tpu.ops import distort as D
+from opencalibration_tpu.ops import features as F
+from opencalibration_tpu.ops import hamming as H
+from opencalibration_tpu.ops import ransac as R
+from opencalibration_tpu.ops.clustering import spectral_cluster
+from opencalibration_tpu.relax.problem_builder import RelaxOptions
+from opencalibration_tpu.relax.relax import relax
+from opencalibration_tpu.types.camera import CameraModel, stack_cameras, take_camera
+from opencalibration_tpu.types.graph import (
+    CameraRelations,
+    ImageNode,
+    MeasurementGraph,
+    NodePose,
+    RelationType,
+    SurfaceModel,
+)
+
+MAX_FEATURES = 2048
+LINK_SUBSET = 1024  # padded per-image sparse subset for matching
+COARSE_SPACING_PIXELS = 40.0  # reference link_stage.cpp:63
+KNN_NEIGHBOURS = 10  # reference link_stage.cpp:22-38
+POSE_GROUP_SIZE = 50  # reference relax_stage.cpp:48-57
+INTRINSICS_GROUP_SIZE = 150
+
+
+def _apply_sidecar_metadata(node: ImageNode):
+    """Optional `<image>.json` sidecar overrides EXIF fields — extension
+    point for externally geotagged surveys and synthetic tests."""
+    sidecar = os.path.splitext(node.path)[0] + ".json"
+    if not os.path.exists(sidecar):
+        return
+    try:
+        with open(sidecar) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return
+    md = node.metadata
+    for key in (
+        "latitude", "longitude", "altitude", "relative_altitude",
+        "focal_length_px", "camera_make", "camera_model", "lens_model",
+        "gps_accuracy_xy", "gps_accuracy_z",
+    ):
+        if key in data:
+            setattr(md, key, data[key])
+
+
+class LoadStage:
+    """reference src/pipeline/load_stage.cpp:11-108."""
+
+    def __init__(self, max_features: int = MAX_FEATURES):
+        self.max_features = max_features
+        self._decoded: List[Optional[DecodedImage]] = []
+        self._paths: List[str] = []
+
+    def init(self, paths: Sequence[str]):
+        self._paths = list(paths)
+        self._decoded = []
+
+    def run(self, parallelism: int = 8):
+        if not self._paths:
+            self._decoded = []
+            return
+        with concurrent.futures.ThreadPoolExecutor(max_workers=parallelism) as ex:
+            self._decoded = list(ex.map(load_and_decode, self._paths))
+        for d in self._decoded:
+            if d is not None:
+                _apply_sidecar_metadata(d.node)
+
+        good = [d for d in self._decoded if d is not None]
+        if not good:
+            return
+        batch, sizes = pad_gray_batch([d.gray for d in good])
+        out = F.extract_features(jnp.asarray(batch), max_features=self.max_features)
+        for i, d in enumerate(good):
+            d.node.features = features_from_device(
+                out, i, d.scale, sizes[i], self.max_features
+            )
+
+    def finalize(
+        self,
+        graph: MeasurementGraph,
+        geocoord: GeoCoord,
+        model_store: Dict[int, CameraModel],
+        model_key_to_id: Dict[tuple, int],
+        gps_positions: Dict[int, np.ndarray],
+    ) -> List[int]:
+        """Deterministic (input-order) graph mutation: dedup camera models
+        by camera_info equality, set the GeoCoord origin from the first
+        GPS-tagged image, convert GPS to local positions."""
+        new_ids = []
+        for d in self._decoded:
+            if d is None:
+                continue  # unloadable image skipped (extract_image.cpp:37-40)
+            node = d.node
+            md = node.metadata
+            key = (
+                md.camera_make, md.camera_model, md.lens_model,
+                md.width_px, md.height_px, round(md.focal_length_px or 0.0, 3),
+            )
+            if key not in model_key_to_id:
+                kw = camera_model_kwargs(md)
+                model_id = len(model_store) + 1
+                if not math.isfinite(kw["focal_length_pixels"] or float("nan")):
+                    # last-resort prior: ~55deg horizontal FOV
+                    kw["focal_length_pixels"] = max(md.width_px, md.height_px)
+                model_key_to_id[key] = model_id
+                model_store[model_id] = CameraModel.create(dtype=jnp.float64, **kw)
+            node.model_id = model_key_to_id[key]
+
+            if md.has_gps():
+                if not geocoord.is_initialized():
+                    geocoord.set_origin(md.latitude, md.longitude)
+                alt = md.altitude if math.isfinite(md.altitude) else 0.0
+                node.position = geocoord.to_local(md.latitude, md.longitude, alt)
+            node_id = graph.add_node(node)
+            if np.isfinite(node.position[:2]).all():
+                gps_positions[node_id] = node.position[:2].copy()
+            new_ids.append(node_id)
+        self._decoded = []
+        self._paths = []
+        return new_ids
+
+
+def _subsample_for_link(feats, model: CameraModel):
+    """Strength-ordered spatially-spread subset padded to LINK_SUBSET
+    (reference match_features.cpp:8-52 with 40px spacing)."""
+    from opencalibration_tpu.ops.spatial import spatial_subsample
+
+    n = len(feats.xy)
+    count = feats.num_sparse if feats.num_sparse > 0 else n
+    xy = feats.xy[:count]
+    strength = feats.strength[:count]
+    cols = max(float(model.pixels_cols), 1.0)
+    rows = max(float(model.pixels_rows), 1.0)
+    ncx = max(2, int(math.ceil(cols / COARSE_SPACING_PIXELS)))
+    ncy = max(2, int(math.ceil(rows / COARSE_SPACING_PIXELS)))
+    keep = np.asarray(
+        spatial_subsample(
+            jnp.asarray(xy), jnp.asarray(strength),
+            jnp.asarray(feats.valid[:count]), COARSE_SPACING_PIXELS, ncx, ncy,
+        )
+    )
+    idx = np.where(keep)[0][:LINK_SUBSET]
+    pad = LINK_SUBSET - len(idx)
+    sel = np.concatenate([idx, np.zeros(pad, np.int64)])
+    valid = np.concatenate([np.ones(len(idx), bool), np.zeros(pad, bool)])
+    return sel.astype(np.int32), valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _match_and_ransac_pair(
+    desc1, xy1, valid1, desc2, xy2, valid2, model1, model2, num_hypotheses=2048
+):
+    """One candidate edge's device work (the body of the reference's link
+    runner, link_stage.cpp:75-112): match -> undistort -> RANSAC
+    homography -> decompose."""
+    idx2, dist, matched = H.match_descriptors(desc1, desc2, valid1, valid2)
+    mp2 = xy2[idx2]
+    r1, r2 = D.distort_keypoints(xy1, mp2, model1, model2)
+    res, quats, ts, scores = R.ransac_homography_with_poses(
+        r1, r2, dist.astype(r1.dtype), matched, num_hypotheses=num_hypotheses
+    )
+    return dict(
+        idx2=idx2, dist=dist, matched=matched,
+        model=res.model, inliers=res.inliers, score=res.score,
+        quats=quats, ts=ts, pose_scores=scores,
+    )
+
+
+class LinkStage:
+    """reference src/pipeline/link_stage.cpp."""
+
+    def __init__(self):
+        self._candidates: List[Tuple[int, int]] = []
+        self._results = []
+
+    def init(
+        self,
+        graph: MeasurementGraph,
+        gps_positions: Dict[int, np.ndarray],
+        node_ids: Sequence[int],
+    ):
+        """Candidate edges: KNN_NEIGHBOURS nearest GPS neighbours per new
+        node (link_stage.cpp:22-38)."""
+        self._candidates = []
+        self._results = []
+        if not node_ids or len(gps_positions) < 2:
+            return
+        import scipy.spatial
+
+        ids = sorted(gps_positions.keys())
+        pts = np.stack([gps_positions[i] for i in ids])
+        tree = scipy.spatial.cKDTree(pts)
+        id_arr = np.asarray(ids)
+        for nid in sorted(node_ids):
+            if nid not in gps_positions:
+                continue
+            k = min(KNN_NEIGHBOURS + 1, len(ids))
+            _, nn = tree.query(gps_positions[nid], k=k)
+            for j in np.atleast_1d(nn):
+                other = int(id_arr[j])
+                if other == nid:
+                    continue
+                if graph.get_edge_id(nid, other) is not None:
+                    continue
+                if graph.get_edge_id(other, nid) is not None:
+                    continue
+                if (nid, other) in self._candidates or (other, nid) in self._candidates:
+                    continue
+                self._candidates.append((nid, other))
+
+    def run(self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]):
+        for source, dest in self._candidates:
+            ns, nd = graph.get_node(source), graph.get_node(dest)
+            if ns is None or nd is None or ns.payload.features is None or nd.payload.features is None:
+                continue
+            ms = model_store[ns.payload.model_id].astype(jnp.float32)
+            md = model_store[nd.payload.model_id].astype(jnp.float32)
+            sel1, v1 = _subsample_for_link(ns.payload.features, ms)
+            sel2, v2 = _subsample_for_link(nd.payload.features, md)
+            f1, f2 = ns.payload.features, nd.payload.features
+            out = _match_and_ransac_pair(
+                jnp.asarray(f1.descriptors[sel1]),
+                jnp.asarray(f1.xy[sel1], jnp.float32),
+                jnp.asarray(v1),
+                jnp.asarray(f2.descriptors[sel2]),
+                jnp.asarray(f2.xy[sel2], jnp.float32),
+                jnp.asarray(v2),
+                ms, md,
+            )
+            self._results.append((source, dest, sel1, sel2, jax.tree.map(np.asarray, out)))
+
+    def finalize(self, graph: MeasurementGraph) -> List[int]:
+        """Deterministic sorted edge insertion (link_stage.cpp:119-143)."""
+        new_node_ids = set()
+        for source, dest, sel1, sel2, out in sorted(
+            self._results, key=lambda r: (r[0], r[1])
+        ):
+            matched = out["matched"]
+            inliers = out["inliers"] & matched
+            if inliers.sum() < 4 * 1.5:  # decompose gate like relax_group.cpp:168
+                continue
+            rel = CameraRelations()
+            m = np.where(matched)[0]
+            # matches sorted by descending distance (match_features.cpp:100)
+            m = m[np.argsort(-out["dist"][m], kind="stable")]
+            rel.match_idx1 = sel1[m].astype(np.int32)
+            rel.match_idx2 = sel2[out["idx2"][m]].astype(np.int32)
+            rel.match_distance = out["dist"][m].astype(np.float32)
+            inl = np.where(inliers)[0]
+            order = np.argsort(
+                [int(np.where(m == i)[0][0]) if i in m else -1 for i in inl]
+            )
+            inl = inl[order]
+            ns, nd = graph.get_node(source), graph.get_node(dest)
+            rel.inlier_idx1 = sel1[inl].astype(np.int32)
+            rel.inlier_idx2 = sel2[out["idx2"][inl]].astype(np.int32)
+            rel.inlier_pixel1 = ns.payload.features.xy[rel.inlier_idx1]
+            rel.inlier_pixel2 = nd.payload.features.xy[rel.inlier_idx2]
+            match_pos = {int(mi): k for k, mi in enumerate(m)}
+            rel.inlier_match_index = np.asarray(
+                [match_pos.get(int(i), 0) for i in inl], np.int32
+            )
+            rel.ransac_relation = out["model"].astype(np.float64)
+            rel.relation_type = RelationType.HOMOGRAPHY
+            rel.rel_quats = out["quats"].astype(np.float64)
+            rel.rel_positions = out["ts"].astype(np.float64)
+            rel.rel_scores = out["pose_scores"].astype(np.float64)
+            graph.add_edge(rel, source, dest)
+            new_node_ids.update((source, dest))
+        self._results = []
+        self._candidates = []
+        return sorted(new_node_ids)
+
+
+@dataclasses.dataclass
+class RelaxGroupState:
+    node_ids: List[int]
+    poses: List[NodePose]
+    cam_models: Dict[int, CameraModel]
+    edge_ids: List[int]
+
+
+class RelaxStage:
+    """Spectral-clustered group relaxation
+    (reference src/pipeline/relax_stage.cpp + relax_group.cpp)."""
+
+    def __init__(self):
+        self._groups: List[RelaxGroupState] = []
+        self._options = RelaxOptions()
+        self._surfaces: List[SurfaceModel] = []
+
+    def init(
+        self,
+        graph: MeasurementGraph,
+        node_ids: Sequence[int],
+        gps_positions: Dict[int, np.ndarray],
+        model_store: Dict[int, CameraModel],
+        relax_all: bool,
+        disable_parallelism: bool,
+        options: RelaxOptions,
+    ):
+        self._options = options
+        self._surfaces = []
+        self._groups = []
+        ids = (
+            sorted(graph.node_ids())
+            if relax_all
+            else sorted(set(node_ids))
+        )
+        ids = [i for i in ids if graph.get_node(i) is not None]
+        ids = [
+            i for i in ids
+            if np.isfinite(np.asarray(graph.get_node(i).payload.position)).all()
+        ]
+        if not ids:
+            return
+
+        group_size = (
+            INTRINSICS_GROUP_SIZE if options.any_intrinsics else POSE_GROUP_SIZE
+        )
+        if disable_parallelism or len(ids) <= group_size:
+            labels = np.zeros(len(ids), np.int64)
+        else:
+            idx_of = {nid: k for k, nid in enumerate(ids)}
+            edges, weights = [], []
+            for eid, e in graph.edges():
+                if e.source in idx_of and e.dest in idx_of:
+                    edges.append((idx_of[e.source], idx_of[e.dest]))
+                    weights.append(max(1.0, float(len(e.payload.inlier_idx1))))
+            pts = np.stack([np.asarray(graph.get_node(i).payload.position)[:2] for i in ids])
+            labels = spectral_cluster(len(ids), edges, weights, pts, group_size)
+
+        # big groups first (relax_stage.cpp:100)
+        by_label: Dict[int, List[int]] = {}
+        for nid, lab in zip(ids, labels):
+            by_label.setdefault(int(lab), []).append(nid)
+        for lab in sorted(by_label, key=lambda l: (-len(by_label[l]), l)):
+            g_ids = by_label[lab]
+            self._groups.append(
+                self._build_group(graph, g_ids, gps_positions, model_store)
+            )
+
+    def _build_group(
+        self, graph, g_ids, gps_positions, model_store
+    ) -> RelaxGroupState:
+        """Working set: copies of poses + models, edges among 10-NN GPS
+        neighbours, depth-1 frozen halo (relax_group.cpp:14-111)."""
+        import scipy.spatial
+
+        gset = set(g_ids)
+        ids = sorted(gps_positions.keys())
+        pts = np.stack([gps_positions[i] for i in ids]) if ids else np.zeros((0, 2))
+        tree = scipy.spatial.cKDTree(pts) if len(ids) else None
+        id_arr = np.asarray(ids)
+
+        edge_ids = set()
+        for nid in g_ids:
+            node = graph.get_node(nid)
+            if tree is None or nid not in gps_positions:
+                continue
+            k = min(KNN_NEIGHBOURS + 1, len(ids))
+            _, nn = tree.query(gps_positions[nid], k=k)
+            ideal = {int(id_arr[j]) for j in np.atleast_1d(nn)} - {nid}
+            for eid in node.edges:
+                e = graph.get_edge(eid)
+                other = e.dest if e.source == nid else e.source
+                if other in ideal and other in gset:
+                    edge_ids.add(eid)
+
+        poses = []
+        cam_models = {}
+        for nid in sorted(g_ids, key=lambda i: graph.get_node(i).payload.path):
+            node = graph.get_node(nid)
+            poses.append(
+                NodePose(
+                    node_id=nid,
+                    orientation=np.asarray(node.payload.orientation, np.float64).copy(),
+                    position=np.asarray(node.payload.position, np.float64).copy(),
+                )
+            )
+            mid = node.payload.model_id
+            if mid not in cam_models and mid in model_store:
+                cam_models[mid] = model_store[mid]
+        return RelaxGroupState(
+            node_ids=list(g_ids), poses=poses, cam_models=cam_models,
+            edge_ids=sorted(edge_ids),
+        )
+
+    def trim_groups(self, n: int):
+        """Keep only the n biggest groups (intrinsics calibration uses the
+        single biggest, reference pipeline.cpp:634)."""
+        self._groups = self._groups[:n]
+
+    def run_all(self, graph: MeasurementGraph, previous_surfaces=()):
+        self._surfaces = []
+        for g in self._groups:
+            surf = relax(
+                graph, g.poses, g.cam_models, g.edge_ids, self._options,
+                previous_surfaces,
+            )
+            self._surfaces.append(surf)
+
+    def finalize(
+        self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]
+    ) -> List[int]:
+        optimized = []
+        model_changed = self._options.any_intrinsics
+        for g in self._groups:
+            for pose in g.poses:
+                node = graph.get_node(pose.node_id)
+                if node is None:
+                    continue
+                node.payload.orientation = pose.orientation
+                node.payload.position = pose.position
+                optimized.append(pose.node_id)
+            if model_changed:
+                for mid, m in g.cam_models.items():
+                    model_store[mid] = m
+        if model_changed:
+            refit_all_edges(graph, model_store)
+        self._groups = []
+        return sorted(set(optimized))
+
+    def surfaces(self) -> List[SurfaceModel]:
+        return self._surfaces
+
+
+def refit_all_edges(graph: MeasurementGraph, model_store: Dict[int, CameraModel]):
+    """Re-fit every edge's homography from its previous inliers after
+    intrinsics changed — deterministic 'maximum likelihood' 3x refit
+    (reference relax_group.cpp:119-178)."""
+    from opencalibration_tpu.ops import models as M
+
+    for eid, e in sorted(graph.edges()):
+        rel = e.payload
+        if len(rel.match_idx1) == 0:
+            continue
+        ns, nd = graph.get_node(e.source), graph.get_node(e.dest)
+        ms = model_store[ns.payload.model_id].astype(jnp.float64)
+        mdm = model_store[nd.payload.model_id].astype(jnp.float64)
+        px1 = ns.payload.features.xy[rel.match_idx1]
+        px2 = nd.payload.features.xy[rel.match_idx2]
+        r1, r2 = D.distort_keypoints(jnp.asarray(px1), jnp.asarray(px2), ms, mdm)
+        p1 = M.hnormalize(r1)
+        p2 = M.hnormalize(r2)
+        n = len(px1)
+        inliers = np.zeros(n, bool)
+        valid_idx = rel.inlier_match_index[rel.inlier_match_index < n]
+        inliers[valid_idx] = True
+        if inliers.sum() < 4:
+            continue
+        w = jnp.asarray(inliers, jnp.float64)
+        Hm = None
+        for _ in range(3):
+            Hm = M.homography_fit_weighted(p1, p2, w)
+            err = M.homography_error(Hm, p1, p2)
+            inl = np.asarray(err) < M.HOMOGRAPHY_INLIER_THRESHOLD
+            w = jnp.asarray(inl, jnp.float64)
+        inl = np.asarray(w, bool)
+        rel.ransac_relation = np.asarray(Hm, np.float64)
+        rel.relation_type = RelationType.HOMOGRAPHY
+        Rs, ts, nrm, _ = M.homography_decompose(Hm)
+        scores = M.score_homography_poses(Rs, ts, nrm, r1, r2, jnp.asarray(w))
+        order = np.argsort(-np.asarray(scores), kind="stable")
+        quats = M.poses_to_quaternions(Rs)
+        t_src = -jnp.einsum("kji,kj->ki", Rs, ts)
+        rel.rel_quats = np.asarray(quats)[order]
+        rel.rel_positions = np.asarray(t_src)[order]
+        rel.rel_scores = np.asarray(scores)[order]
+        if inl.sum() > 4 * 1.5 and scores[order[0]] > 0:
+            keep = np.where(inl)[0]
+            rel.inlier_idx1 = rel.match_idx1[keep]
+            rel.inlier_idx2 = rel.match_idx2[keep]
+            rel.inlier_pixel1 = px1[keep]
+            rel.inlier_pixel2 = px2[keep]
+            rel.inlier_match_index = keep.astype(np.int32)
+        else:
+            rel.inlier_idx1 = np.zeros(0, np.int32)
+            rel.inlier_idx2 = np.zeros(0, np.int32)
+            rel.inlier_pixel1 = np.zeros((0, 2))
+            rel.inlier_pixel2 = np.zeros((0, 2))
+            rel.inlier_match_index = np.zeros(0, np.int32)

@@ -24,6 +24,7 @@ whose cost functions fail).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import jax
@@ -112,6 +113,7 @@ def normal_equations(params: RelaxParams, blocks: Sequence[BlockSpec], layout, f
     return H, g
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SolveInfo:
     initial_cost: jnp.ndarray
@@ -119,6 +121,13 @@ class SolveInfo:
     iterations: jnp.ndarray
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "max_iterations", "init_lambda",
+        "parameter_tolerance", "function_tolerance",
+    ),
+)
 def solve(
     params: RelaxParams,
     blocks: Sequence[BlockSpec],
@@ -129,8 +138,12 @@ def solve(
     parameter_tolerance: float = 1e-8,
     function_tolerance: float = 1e-6,
 ):
-    """Run LM to convergence (jit-compatible; data-dependent iteration count
-    via lax.while_loop). Returns (params, SolveInfo)."""
+    """Run LM to convergence (data-dependent iteration count via
+    lax.while_loop). Jitted: compilations are cached per (layout, block
+    shapes) — builders pad block counts to buckets so repeated pipeline
+    iterations reuse the compiled solver. Returns (params, SolveInfo).
+    `blocks` must be a tuple (hashable pytree structure)."""
+    blocks = tuple(blocks)
     dtype = params.quats.dtype
     free = jnp.asarray(free_mask)
     T = layout.dim

@@ -1,0 +1,578 @@
+"""Build batched relax problems from the measurement graph.
+
+Host-side equivalent of the reference's RelaxProblem setup methods
+(reference src/relax/relax_problem.cpp: setupDecompositionProblem :40,
+setupGroundPlaneProblem :61, setupGroundMeshProblem :83, grid filtering
+:234-309) re-shaped for the TPU: instead of adding one Ceres residual
+block per measurement, the builder emits *padded arrays* per block family
+and hands them to relax.lm.solve.
+
+Simplifications vs the reference, by design (documented contracts):
+* the one-image-at-a-time NaN-orientation bootstrap (relax.cpp:44-79)
+  becomes fill-then-batch-solve — the downwards prior plus GPS-pinned
+  positions provide the same basin;
+* multi-ray (3-5) track costs use the same padded plane_ray block as the
+  2-ray fallback; track construction (UnionFind over edge tracks) is in
+  relax.tracks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opencalibration_tpu.ops import distort as D
+from opencalibration_tpu.ops.intersection import ray_intersection
+from opencalibration_tpu.ops.quaternion import quat_rotate
+from opencalibration_tpu.relax import blocks as B
+from opencalibration_tpu.relax import lm
+from opencalibration_tpu.relax.tangent import RelaxParams, TangentLayout
+from opencalibration_tpu.surface.mesh import TriMesh, build_minimal_mesh
+from opencalibration_tpu.types.camera import CameraModel, FORWARD, INVERSE
+from opencalibration_tpu.types.graph import MeasurementGraph, NodePose, SurfaceModel
+
+DOWN_QUAT = np.array([0.0, 1.0, 0.0, 0.0])  # 180deg about x: nadir, north-up
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round up to the next power of two so jitted solver shapes repeat
+    across pipeline iterations (padded instances carry weight 0)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr, target, fill=0):
+    arr = np.asarray(arr)
+    if len(arr) >= target:
+        return arr[:target]
+    pad_shape = (target - len(arr),) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)])
+
+
+@dataclasses.dataclass(frozen=True)
+class RelaxOptions:
+    """Typed subset of the reference's RelaxOptionSet
+    (reference types/relax_options.hpp:9-151)."""
+
+    orientation: bool = True
+    ground_plane: bool = False
+    ground_mesh: bool = False
+    points_3d: bool = False
+    focal: bool = False
+    principal: bool = False
+    radial_tier: int = 0  # 0=off, 1=Brown2, 2=Brown24, 3=Brown246
+    tangential: bool = False
+    minimal_mesh: bool = False
+
+    @property
+    def any_intrinsics(self) -> bool:
+        return self.focal or self.principal or self.radial_tier > 0 or self.tangential
+
+
+@dataclasses.dataclass
+class BuiltProblem:
+    params: RelaxParams
+    layout: TangentLayout
+    blocks: list
+    free_mask: jnp.ndarray
+    surface_free_mask: jnp.ndarray  # relaxObservedModelOnly mask
+    cam_index: Dict[int, int]  # node_id -> camera slot
+    model_index: Dict[int, int]  # model_id -> intrinsics slot
+    mesh: Optional[TriMesh]
+    inverse_models: bool  # whether intrinsics leaves hold INVERSE coefficients
+    track_points: np.ndarray  # [N, 3] triangulated points for surface output
+    track_errors: np.ndarray  # [N]
+
+
+def _gather_cameras(
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    edge_ids: Sequence[int],
+):
+    """Optimized cameras first, then frozen boundary cameras referenced by
+    the edges (nodeid2poseopt optimize=false semantics,
+    reference relax_problem.cpp:181-232)."""
+    cam_index: Dict[int, int] = {}
+    quats, positions, opt = [], [], []
+    for np_ in node_poses:
+        cam_index[np_.node_id] = len(quats)
+        q = np.asarray(np_.orientation, np.float64)
+        quats.append(np.where(np.isfinite(q).all(), q, DOWN_QUAT))
+        positions.append(np.asarray(np_.position, np.float64))
+        opt.append(True)
+    for edge_id in edge_ids:
+        e = graph.get_edge(edge_id)
+        if e is None:
+            continue
+        for nid in (e.source, e.dest):
+            if nid in cam_index:
+                continue
+            node = graph.get_node(nid)
+            if node is None:
+                continue
+            q = np.asarray(node.payload.orientation, np.float64)
+            p = np.asarray(node.payload.position, np.float64)
+            if not (np.isfinite(q).all() and np.isfinite(p).all()):
+                continue
+            cam_index[nid] = len(quats)
+            quats.append(q)
+            positions.append(p)
+            opt.append(False)
+    return cam_index, np.asarray(quats), np.asarray(positions), np.asarray(opt)
+
+
+def _usable_edges(graph, cam_index, edge_ids):
+    out = []
+    for edge_id in sorted(edge_ids):
+        e = graph.get_edge(edge_id)
+        if e is None:
+            continue
+        if e.source in cam_index and e.dest in cam_index:
+            out.append(edge_id)
+    return out
+
+
+def build_decomposition_problem(
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    edge_ids: Sequence[int],
+    dtype=jnp.float64,
+) -> Optional[BuiltProblem]:
+    """Relative-orientation problem (setupDecompositionProblem,
+    reference relax_problem.cpp:40-59 + addRelationCost :312-377)."""
+    cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
+    if len(quats) == 0:
+        return None
+    layout = TangentLayout(len(quats), 0, 0, 1)
+    params = RelaxParams.create(
+        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype), dtype=dtype
+    )
+
+    ci, cj, RQ, RT, RS, RV = [], [], [], [], [], []
+    for edge_id in _usable_edges(graph, cam_index, edge_ids):
+        e = graph.get_edge(edge_id)
+        rel = e.payload
+        if len(rel.inlier_idx1) == 0:
+            continue
+        scores = np.asarray(rel.rel_scores, np.float64)
+        if not np.any(scores > 0):
+            continue
+        max_score = scores.max()
+        valid = scores > 0.25 * max_score  # reference relax_cost_function.hpp:276
+        q = np.asarray(rel.rel_quats, np.float64)
+        t = np.asarray(rel.rel_positions, np.float64)
+        valid &= np.isfinite(q).all(axis=1) & np.isfinite(t).all(axis=1)
+        if not valid.any():
+            continue
+        ci.append(cam_index[e.source])
+        cj.append(cam_index[e.dest])
+        RQ.append(np.where(valid[:, None], q, DOWN_QUAT[None]))
+        RT.append(np.where(valid[:, None], t, 0.0))
+        RS.append(np.where(valid, scores, 0.0))
+        RV.append(valid)
+    if not ci:
+        return None
+
+    nb = _bucket(len(ci))
+    blk = B.decomposed_rotation_block(
+        layout,
+        jnp.asarray(_pad_rows(np.asarray(ci, np.int32), nb), jnp.int32),
+        jnp.asarray(_pad_rows(np.asarray(cj, np.int32), nb), jnp.int32),
+        jnp.asarray(_pad_rows(np.stack(RQ), nb), dtype),
+        jnp.asarray(_pad_rows(np.stack(RT), nb), dtype),
+        jnp.asarray(_pad_rows(np.stack(RS), nb), dtype),
+        jnp.asarray(_pad_rows(np.stack(RV), nb, fill=False)),
+        jnp.asarray(_pad_rows(np.ones(len(ci)), nb), dtype),
+    )
+    down = B.downwards_prior_block(
+        layout,
+        jnp.arange(len(quats), dtype=jnp.int32),
+        jnp.asarray(opt, dtype),
+    )
+    free = layout.build_free_mask(rot_free=jnp.asarray(opt))
+    return BuiltProblem(
+        params=params, layout=layout, blocks=[blk, down], free_mask=free,
+        surface_free_mask=jnp.zeros_like(free), cam_index=cam_index,
+        model_index={}, mesh=None, inverse_models=False,
+        track_points=np.zeros((0, 3)), track_errors=np.zeros(0),
+    )
+
+
+def _grid_filter_edge(
+    pixels1, pixels2, rays1_w, rays2_w, pos1, pos2, distances, ransac_H,
+    dims1, dims2, cell_fraction: float,
+):
+    """Composite-score grid filter for one edge's inliers
+    (reference relax_problem.cpp:234-309). All numpy, vectorized.
+    Returns boolean keep mask (union of best-per-cell in either image)."""
+    n = len(pixels1)
+    if n == 0:
+        return np.zeros(0, bool)
+    mid, err = ray_intersection(
+        jnp.asarray(rays1_w), jnp.asarray(pos1)[None].repeat(n, 0),
+        jnp.asarray(rays2_w), jnp.asarray(pos2)[None].repeat(n, 0),
+    )
+    err = np.asarray(err)
+    inter_score = np.where(err < 0, 0.0, 1.0 / (1.0 + err))
+    cosang = np.sum(np.asarray(rays1_w) * np.asarray(rays2_w), axis=1)
+    angle_score = 1.0 - cosang**2
+    desc_score = 1.0 - np.asarray(distances)
+    if ransac_H is not None and np.isfinite(ransac_H).all():
+        # reference compares normalized pixel coords through the homography
+        src = np.concatenate([pixels1, np.ones((n, 1))], axis=1)
+        dst = src @ ransac_H.T
+        dst = dst[:, :2] / np.where(np.abs(dst[:, 2:3]) < 1e-12, 1e-12, dst[:, 2:3])
+        ransac_score = 1.0 / (1.0 + np.linalg.norm(dst - pixels2, axis=1))
+    else:
+        ransac_score = np.ones(n)
+    score = inter_score * angle_score * desc_score * ransac_score
+
+    keep = np.zeros(n, bool)
+    for pixels, dims in ((pixels1, dims1), (pixels2, dims2)):
+        gx = np.floor(pixels[:, 0] / dims[0] / cell_fraction).astype(np.int64)
+        gy = np.floor(pixels[:, 1] / dims[1] / cell_fraction).astype(np.int64)
+        cells = gx * 100000 + gy
+        order = np.lexsort((-score, cells))
+        sorted_cells = cells[order]
+        first = np.ones(n, bool)
+        first[1:] = sorted_cells[1:] != sorted_cells[:-1]
+        best = order[first]
+        keep[best[score[best] > 0]] = True
+    return keep
+
+
+def build_mesh_problem(
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    cam_models: Dict[int, CameraModel],
+    edge_ids: Sequence[int],
+    options: RelaxOptions,
+    previous_surfaces: Sequence[SurfaceModel] = (),
+    grid_fraction: float = 0.15,
+    dtype=jnp.float64,
+) -> Optional[BuiltProblem]:
+    """Ground-plane / ground-mesh problem: ray/triangle costs over a
+    surface mesh, optional shared-inverse-model intrinsics
+    (setupGroundPlaneProblem / setupGroundMeshProblem,
+    reference relax_problem.cpp:61-120)."""
+    cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
+    if len(quats) < 2:
+        return None
+    edge_list = _usable_edges(graph, cam_index, edge_ids)
+    if not edge_list:
+        return None
+
+    # ---- mesh initialization (initializeGroundPlane / initializeGroundMesh)
+    prior_pts = None
+    prev_mesh = None
+    for s in previous_surfaces:
+        if s.mesh is not None and getattr(s.mesh, "num_vertices", 0) > 0:
+            prev_mesh = s.mesh
+        for c in s.cloud:
+            prior_pts = c if prior_pts is None else np.concatenate([prior_pts, c])
+    if options.ground_mesh and prev_mesh is not None and not (
+        options.minimal_mesh and prev_mesh.num_vertices <= 4
+    ):
+        mesh = prev_mesh.copy()
+    elif options.ground_plane:
+        # one big triangle 50m under the cameras (initializeGroundPlane,
+        # reference relax_problem.cpp:1193-1240)
+        margin = 50.0
+        center = 0.5 * (positions[:, :2].min(0) + positions[:, :2].max(0))
+        spacing = (positions[:, :2].max(0) - positions[:, :2].min(0)).max() + margin
+        height = positions[:, 2].mean() - margin
+        mesh = TriMesh(
+            np.array(
+                [
+                    [center[0] - spacing, center[1] - spacing, height],
+                    [center[0] + spacing, center[1] - spacing, height],
+                    [center[0], center[1] + spacing, height],
+                ]
+            ),
+            np.array([[0, 1, 2]], np.int32),
+        )
+    else:
+        mesh = build_minimal_mesh(positions, prior_pts)
+        if mesh is None:
+            return None
+
+    # ---- intrinsics slots (shared inverse model per camera model id)
+    model_index: Dict[int, int] = {}
+    inv_models: List[CameraModel] = []
+    use_intrinsics = options.any_intrinsics
+    for mid, m in sorted(cam_models.items()):
+        model_index[mid] = len(inv_models)
+        inv_models.append(D.convert_to_inverse(m.astype(jnp.float64)))
+    if not inv_models:
+        # derive from graph nodes
+        for nid in cam_index:
+            node = graph.get_node(nid)
+            mid = node.payload.model_id
+            if mid not in model_index:
+                model_index[mid] = len(inv_models)
+                inv_models.append(None)  # placeholder; filled by caller
+    M = max(1, len(inv_models))
+
+    layout = TangentLayout(len(quats), mesh.num_vertices, 0, M)
+    focal = np.array([float(m.focal_length_pixels) for m in inv_models]) if inv_models else np.array([1.0])
+    principal = (
+        np.stack([np.asarray(m.principal_point) for m in inv_models])
+        if inv_models else np.zeros((1, 2))
+    )
+    radial = (
+        np.stack([np.asarray(m.radial_distortion) for m in inv_models])
+        if inv_models else np.zeros((1, 3))
+    )
+    tangential = (
+        np.stack([np.asarray(m.tangential_distortion) for m in inv_models])
+        if inv_models else np.zeros((1, 2))
+    )
+    params = RelaxParams.create(
+        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype),
+        mesh_z=jnp.asarray(mesh.vertices[:, 2], dtype),
+        focal=jnp.asarray(focal, dtype), principal=jnp.asarray(principal, dtype),
+        radial=jnp.asarray(radial, dtype), tangential=jnp.asarray(tangential, dtype),
+    )
+
+    # ---- per-edge measurements: grid filter + triangle assignment
+    b_vert, b_trixy, b_cam, b_valid, b_pix, b_dir, b_model = [], [], [], [], [], [], []
+    tp_list, te_list = [], []
+    node_model = {nid: graph.get_node(nid).payload.model_id for nid in cam_index}
+    fwd_models = {mid: cam_models[mid].astype(jnp.float64) for mid in cam_models}
+
+    for edge_id in edge_list:
+        e = graph.get_edge(edge_id)
+        rel = e.payload
+        n = len(rel.inlier_idx1)
+        if n == 0:
+            continue
+        s_model = fwd_models.get(node_model[e.source])
+        d_model = fwd_models.get(node_model[e.dest])
+        if s_model is None or d_model is None:
+            continue
+        px1 = np.asarray(rel.inlier_pixel1, np.float64)
+        px2 = np.asarray(rel.inlier_pixel2, np.float64)
+        r1, r2 = D.distort_keypoints(jnp.asarray(px1), jnp.asarray(px2), s_model, d_model)
+        q1 = quats[cam_index[e.source]]
+        q2 = quats[cam_index[e.dest]]
+        p1w = positions[cam_index[e.source]]
+        p2w = positions[cam_index[e.dest]]
+        r1w = np.asarray(quat_rotate(jnp.asarray(q1)[None], r1))
+        r2w = np.asarray(quat_rotate(jnp.asarray(q2)[None], r2))
+        dist = (
+            np.asarray(rel.match_distance)[np.asarray(rel.inlier_match_index)]
+            if len(rel.match_distance)
+            else np.zeros(n)
+        )
+        dims1 = (float(s_model.pixels_cols), float(s_model.pixels_rows))
+        dims2 = (float(d_model.pixels_cols), float(d_model.pixels_rows))
+        keep = _grid_filter_edge(
+            px1, px2, r1w, r2w, p1w, p2w, dist,
+            np.asarray(rel.ransac_relation), dims1, dims2, grid_fraction,
+        )
+        if not keep.any():
+            continue
+        # 2-ray triangulation for triangle lookup + surface output
+        mid, err = ray_intersection(
+            jnp.asarray(r1w[keep]), jnp.asarray(np.repeat(p1w[None], keep.sum(), 0)),
+            jnp.asarray(r2w[keep]), jnp.asarray(np.repeat(p2w[None], keep.sum(), 0)),
+        )
+        mid = np.asarray(mid)
+        err = np.asarray(err)
+        finite = np.isfinite(mid).all(axis=1)
+        tp_list.append(mid[finite])
+        te_list.append(err[finite])
+        tri_idx = mesh.find_triangles(mid[finite, :2])
+        ok = tri_idx >= 0
+        if not ok.any():
+            continue
+        kidx = np.where(keep)[0][finite][ok]
+        tri = mesh.triangles[tri_idx[ok]]
+        same_model = node_model[e.source] == node_model[e.dest]
+        use_int = use_intrinsics and same_model
+        for row, k in zip(tri, kidx):
+            b_vert.append(row)
+            b_trixy.append(mesh.vertices[row, :2])
+            b_cam.append([cam_index[e.source], cam_index[e.dest], 0, 0, 0])
+            b_valid.append([True, True, False, False, False])
+            b_model.append(model_index.get(node_model[e.source], 0))
+            b_pix.append(
+                np.stack([px1[k], px2[k], px1[k], px1[k], px1[k]])
+            )
+            b_dir.append(
+                np.stack(
+                    [
+                        np.asarray(r1[k]), np.asarray(r2[k]),
+                        np.asarray(r1[k]), np.asarray(r1[k]), np.asarray(r1[k]),
+                    ]
+                )
+            )
+
+    if not b_vert:
+        return None
+
+    NB = len(b_vert)
+    nb = _bucket(NB, minimum=64)
+    common = dict(
+        vert_idx=jnp.asarray(_pad_rows(np.stack(b_vert), nb), jnp.int32),
+        tri_xy=jnp.asarray(_pad_rows(np.stack(b_trixy), nb), dtype),
+        cam_idx=jnp.asarray(_pad_rows(np.stack(b_cam), nb), jnp.int32),
+        ray_valid=jnp.asarray(_pad_rows(np.stack(b_valid), nb, fill=False)),
+        weight=jnp.asarray(_pad_rows(np.ones(NB), nb), dtype),
+        model_i=jnp.asarray(_pad_rows(np.asarray(b_model, np.int32), nb), jnp.int32),
+    )
+    if use_intrinsics:
+        blk = B.plane_ray_block(
+            layout, pixel=jnp.asarray(_pad_rows(np.stack(b_pix), nb), dtype), **common
+        )
+    else:
+        blk = B.plane_ray_block(
+            layout, fixed_dir=jnp.asarray(_pad_rows(np.stack(b_dir), nb), dtype), **common
+        )
+
+    blocks = [blk]
+    blocks.append(
+        B.downwards_prior_block(
+            layout, jnp.arange(len(quats), dtype=jnp.int32), jnp.asarray(opt, dtype)
+        )
+    )
+    if options.ground_mesh:
+        edges_all = mesh.all_edges()
+        if len(edges_all):
+            blocks.append(
+                B.mesh_flat_block(
+                    layout,
+                    jnp.asarray(edges_all[:, 0], jnp.int32),
+                    jnp.asarray(edges_all[:, 1], jnp.int32),
+                    jnp.ones(len(edges_all), dtype),
+                )
+            )
+        blocks.append(
+            B.mesh_anchor_block(
+                layout,
+                jnp.arange(mesh.num_vertices, dtype=jnp.int32),
+                jnp.asarray(mesh.vertices[:, 2], dtype),
+                jnp.ones(mesh.num_vertices, dtype),
+            )
+        )
+        interior, opposite, _ = mesh.interior_edges()
+        if len(interior):
+            v = mesh.vertices
+            blocks.append(
+                B.mesh_smooth_block(
+                    layout,
+                    jnp.asarray(interior[:, 0], jnp.int32),
+                    jnp.asarray(interior[:, 1], jnp.int32),
+                    jnp.asarray(opposite[:, 0], jnp.int32),
+                    jnp.asarray(opposite[:, 1], jnp.int32),
+                    jnp.asarray(v[interior[:, 0], :2], dtype),
+                    jnp.asarray(v[interior[:, 1], :2], dtype),
+                    jnp.asarray(v[opposite[:, 0], :2], dtype),
+                    jnp.asarray(v[opposite[:, 1], :2], dtype),
+                    jnp.ones(len(interior), dtype),
+                )
+            )
+    if options.radial_tier > 0 and inv_models:
+        r_max, obs_w, midx = [], [], []
+        for mid, slot in model_index.items():
+            m = cam_models.get(mid)
+            if m is None:
+                continue
+            half = np.hypot(float(m.pixels_cols), float(m.pixels_rows)) / 2.0
+            r_max.append(half / max(float(m.focal_length_pixels), 1.0))
+            obs_w.append(np.sqrt(NB / 10.0))
+            midx.append(slot)
+        if midx:
+            blocks.append(
+                B.monotonicity_block(
+                    layout, jnp.asarray(midx, jnp.int32),
+                    jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
+                    jnp.ones(len(midx), dtype),
+                )
+            )
+
+    free = layout.build_free_mask(
+        rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
+        mesh_free=True,
+        focal_free=options.focal,
+        principal_free=options.principal,
+        radial_tiers=options.radial_tier,
+    )
+    surface_free = layout.build_free_mask(
+        rot_free=jnp.zeros(len(quats), bool), mesh_free=True
+    )
+    return BuiltProblem(
+        params=params, layout=layout, blocks=blocks, free_mask=free,
+        surface_free_mask=surface_free, cam_index=cam_index,
+        model_index=model_index, mesh=mesh, inverse_models=True,
+        track_points=np.concatenate(tp_list) if tp_list else np.zeros((0, 3)),
+        track_errors=np.concatenate(te_list) if te_list else np.zeros(0),
+    )
+
+
+def solve_problem(
+    built: BuiltProblem,
+    node_poses: Sequence[NodePose],
+    cam_models: Optional[Dict[int, CameraModel]] = None,
+    pre_solve_surface: bool = False,
+    max_iterations: int = lm.DEFAULT_MAX_ITERATIONS,
+) -> SurfaceModel:
+    """Run LM (optionally the mesh-only pre-solve first), write results
+    back into node_poses / cam_models, return the surface model
+    (solve + getSurfaceModel, reference relax_problem.cpp:1390-1507)."""
+    params = built.params
+    if pre_solve_surface and bool(jnp.any(built.surface_free_mask)):
+        params, _ = lm.solve(
+            params, built.blocks, built.layout, built.surface_free_mask,
+            max_iterations=max_iterations,
+        )
+    params, info = lm.solve(
+        params, built.blocks, built.layout, built.free_mask,
+        max_iterations=max_iterations,
+    )
+
+    quats = np.asarray(params.quats)
+    for np_ in node_poses:
+        slot = built.cam_index.get(np_.node_id)
+        if slot is not None:
+            np_.orientation = quats[slot]
+
+    if cam_models is not None and built.model_index and built.inverse_models:
+        for mid, slot in built.model_index.items():
+            if mid not in cam_models:
+                continue
+            old = cam_models[mid]
+            inv = CameraModel(
+                focal_length_pixels=params.focal[slot],
+                principal_point=params.principal[slot],
+                radial_distortion=params.radial[slot],
+                tangential_distortion=params.tangential[slot],
+                pixels_cols=old.pixels_cols,
+                pixels_rows=old.pixels_rows,
+                tag=INVERSE,
+            )
+            changed = not np.allclose(
+                np.asarray(inv.radial_distortion),
+                -np.asarray(old.radial_distortion),
+                atol=1e-12,
+            ) or not np.isclose(
+                float(inv.focal_length_pixels), float(old.focal_length_pixels)
+            )
+            if changed:
+                cam_models[mid] = D.convert_to_forward(inv).astype(old.dtype)
+
+    surface = SurfaceModel()
+    if built.mesh is not None:
+        mesh = built.mesh.copy()
+        mesh.vertices[:, 2] = np.asarray(params.mesh_z)
+        surface.mesh = mesh
+    good = np.isfinite(built.track_errors) & (np.abs(built.track_errors) < 1.0)
+    if good.any():
+        surface.cloud.append(built.track_points[good])
+    return surface

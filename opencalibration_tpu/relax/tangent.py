@@ -92,7 +92,21 @@ class RelaxParams:
 
 
 class TangentLayout:
-    """Slot arithmetic for the flat tangent vector (static python ints)."""
+    """Slot arithmetic for the flat tangent vector (static python ints).
+
+    Hashable on its dims so it can be a static jit argument — solver
+    compilations are cached per layout shape.
+    """
+
+    def __hash__(self):
+        return hash((self.C, self.V, self.P, self.M))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TangentLayout)
+            and (self.C, self.V, self.P, self.M)
+            == (other.C, other.V, other.P, other.M)
+        )
 
     def __init__(self, C: int, V: int, P: int, M: int):
         self.C, self.V, self.P, self.M = C, V, P, M

@@ -1,0 +1,140 @@
+"""Synthetic aerial-survey fixture: renders JPEGs of a textured ground
+plane from a nadir camera grid, with sidecar-JSON geotags.
+
+This is the Python analogue of the reference's test_data submodule (which
+is not checked out here): real pipeline inputs with exact ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from opencalibration_tpu.geo.geo_coord import GeoCoord
+
+ORIGIN_LAT, ORIGIN_LON = 47.4, 8.5
+IMG_W, IMG_H = 320, 240
+FOCAL = 400.0
+ALTITUDE = 60.0
+
+
+def make_texture(seed=0, size=512):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    tex = gaussian_filter(np.kron(rng.normal(size=(size // 8, size // 8)), np.ones((8, 8))), 2.0)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    # add some sharp structure so features are strong
+    tex += 0.15 * (rng.random(tex.shape) > 0.995)
+    return np.clip(tex, 0, 1).astype(np.float32)
+
+
+def camera_grid(rows, cols, spacing=15.0, seed=1):
+    """Ground-truth poses: nadir + random small yaw; positions on a grid.
+
+    Rows alternate between two flight altitudes: over flat terrain a
+    single-altitude nadir survey leaves focal/depth as an exact null
+    direction (similar triangles), so intrinsics calibration needs either
+    terrain relief or altitude variation to be observable.
+    """
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops.quaternion import (
+        quat_from_axis_angle,
+        quat_multiply,
+    )
+
+    rng = np.random.default_rng(seed)
+    DOWN = np.array([0.0, 1.0, 0.0, 0.0])
+    positions, quats = [], []
+    for r in range(rows):
+        for c in range(cols):
+            alt = ALTITUDE + (r % 2) * 25.0
+            positions.append([30.0 + c * spacing, 30.0 + r * spacing, alt])
+            yaw = rng.uniform(-0.15, 0.15)
+            q = quat_multiply(
+                quat_from_axis_angle(jnp.asarray([0.0, 0, 1]), jnp.asarray(yaw)),
+                jnp.asarray(DOWN),
+            )
+            quats.append(np.asarray(q))
+    return np.asarray(positions), np.stack(quats)
+
+
+def render_views(tex, positions, quats, ground_extent=150.0):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops import distort as D
+    from opencalibration_tpu.ops.features import _bilinear
+    from opencalibration_tpu.ops.quaternion import quat_rotate
+    from opencalibration_tpu.types.camera import CameraModel
+
+    model = CameraModel.create(
+        FOCAL, (IMG_W / 2, IMG_H / 2), pixels_cols=IMG_W, pixels_rows=IMG_H,
+        dtype=jnp.float32,
+    )
+
+    @jax.jit
+    def render_all(texj, quats_a, pos_a):
+        size = texj.shape[0]
+
+        def render(q, t):
+            ys, xs = jnp.meshgrid(
+                jnp.arange(IMG_H, dtype=jnp.float32),
+                jnp.arange(IMG_W, dtype=jnp.float32),
+                indexing="ij",
+            )
+            px = jnp.stack([xs.ravel(), ys.ravel()], -1)
+            dirs = jax.vmap(lambda p: D.image_to_3d(p, model))(px)
+            wd = quat_rotate(q, dirs)
+            s = -t[2] / wd[:, 2]
+            ground = t[None] + s[:, None] * wd
+            u = jnp.clip(ground[:, 0] / ground_extent * (size - 1), 0, size - 1)
+            v = jnp.clip(ground[:, 1] / ground_extent * (size - 1), 0, size - 1)
+            val = jax.vmap(lambda a, b: _bilinear(texj, a, b))(u, v)
+            return val.reshape(IMG_H, IMG_W)
+
+        return jax.vmap(render)(quats_a, pos_a)
+
+    out = render_all(
+        jnp.asarray(tex),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(positions, jnp.float32),
+    )
+    return [np.asarray(out[i]) for i in range(len(positions))]
+
+
+def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0):
+    """Write JPEGs + sidecar geotags. Returns (paths, positions, quats)."""
+    import cv2
+
+    tex = make_texture(seed)
+    positions, quats = camera_grid(rows, cols, spacing, seed + 1)
+    views = render_views(tex, positions, quats)
+
+    geo = GeoCoord()
+    geo.set_origin(ORIGIN_LAT, ORIGIN_LON)
+
+    paths = []
+    for i, img in enumerate(views):
+        path = os.path.join(tmpdir, f"IMG_{i:04d}.jpg")
+        cv2.imwrite(path, (img * 255).astype(np.uint8), [cv2.IMWRITE_JPEG_QUALITY, 98])
+        wgs = geo.to_wgs84(positions[i])
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump(
+                dict(
+                    latitude=float(wgs[0]),
+                    longitude=float(wgs[1]),
+                    altitude=float(positions[i][2]),
+                    focal_length_px=FOCAL,
+                    camera_make="Synthetic",
+                    camera_model="TestCam",
+                ),
+                f,
+            )
+        paths.append(path)
+    return paths, positions, quats
