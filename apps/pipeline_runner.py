@@ -34,9 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--graph-file", default=None, help="Output serialized camera graph JSON")
     p.add_argument("-p", "--pointcloud-file", default=None, help="Output pointcloud XYZ")
     p.add_argument("-m", "--mesh-file", default=None, help="Output mesh PLY")
-    p.add_argument("-o", "--geotiff-file", default=None, help="Output orthomosaic GeoTIFF (pending ortho stage)")
-    p.add_argument("--dsm-file", default=None, help="Output DSM GeoTIFF (pending ortho stage)")
-    p.add_argument("-x", "--textured-mesh-file", default=None, help="Output textured OBJ (pending ortho stage)")
+    p.add_argument("-o", "--geotiff-file", default=None, help="Output orthomosaic GeoTIFF")
+    p.add_argument("--dsm-file", default=None, help="Output DSM GeoTIFF")
+    p.add_argument("-x", "--textured-mesh-file", default=None, help="Output textured OBJ")
     p.add_argument("-t", "--thumbnail-file", default=None, help="Output thumbnail image")
 
     p.add_argument("--mesh-refinement", type=int, default=1)
@@ -67,6 +67,16 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("pipeline_runner")
 
+    import jax
+
+    # f64 precision for the BA solves when the backend supports it (CPU);
+    # TPU stays f32 (no native f64) and the builders downcast cleanly
+    try:
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_enable_x64", True)
+    except Exception:
+        pass
+
     from opencalibration_tpu.pipeline.pipeline import Pipeline, PipelineState
     from opencalibration_tpu.utils.performance import (
         enable_performance_counters,
@@ -77,6 +87,11 @@ def main(argv=None) -> int:
         enable_performance_counters(True)
 
     pipeline = Pipeline(batch_size=args.batch_size)
+    pipeline.ortho_path = args.geotiff_file
+    pipeline.dsm_path = args.dsm_file
+    pipeline.thumbnail_path = args.thumbnail_file
+    if args.textured_mesh_file:
+        pipeline.textured_obj_prefix = args.textured_mesh_file.removesuffix(".obj")
     pipeline.skip_mesh_refinement = not args.mesh_refinement
     pipeline.skip_initial_global_relax = not args.initial_relax
     pipeline.skip_camera_param_relax = not args.camera_param_relax

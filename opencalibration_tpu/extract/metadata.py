@@ -73,7 +73,88 @@ def parse_xmp(path: str) -> dict:
     return out
 
 
+def _orientation_quat(roll_deg, pitch_deg, yaw_deg):
+    r, p, y = (math.radians(v) for v in (roll_deg, pitch_deg, yaw_deg))
+    cy, sy = math.cos(y / 2), math.sin(y / 2)
+    cp, sp = math.cos(p / 2), math.sin(p / 2)
+    cr, sr = math.cos(r / 2), math.sin(r / 2)
+    return np.array(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ]
+    )
+
+
+def extract_metadata_native(path: str):
+    """Primary path: the C++ parser (opencalibration_tpu/native/
+    exif_parser.cpp). Returns None when the native library is unavailable
+    or the file has no parseable metadata."""
+    from opencalibration_tpu.native import parse_exif_native
+
+    res = parse_exif_native(path)
+    if res is None:
+        return None
+    md = ImageMetadata()
+    md.camera_make = res.make.decode("ascii", "replace")
+    md.camera_model = res.model.decode("ascii", "replace")
+    md.lens_model = res.lens_model.decode("ascii", "replace")
+    md.capture_time = res.datetime.decode("ascii", "replace")
+    md.width_px = res.width_px
+    md.height_px = res.height_px
+    if res.has_gps:
+        md.latitude = res.latitude
+        md.longitude = res.longitude
+    if res.has_altitude:
+        md.altitude = res.altitude
+    if math.isfinite(res.dop) and res.dop > 0:
+        md.gps_accuracy_xy = res.dop
+    # 3-tier focal fallback (reference extract_metadata.cpp:110-138)
+    if res.focal_length_35mm > 0 and md.width_px:
+        md.focal_length_px = (
+            res.focal_length_35mm / FULL_FRAME_DIAGONAL_MM
+            * math.hypot(md.width_px, md.height_px)
+        )
+    elif res.focal_length_mm > 0 and res.focal_plane_x_res > 0:
+        scale = 10.0 if res.focal_plane_unit == 3 else 25.4
+        md.focal_length_px = res.focal_length_mm / (scale / res.focal_plane_x_res)
+    if res.has_relative_altitude:
+        md.relative_altitude = res.relative_altitude
+        md.altitude = res.relative_altitude
+    if math.isfinite(res.rtk_std_lat) and math.isfinite(res.rtk_std_lon):
+        md.gps_accuracy_xy = max(res.rtk_std_lat, res.rtk_std_lon)
+    if math.isfinite(res.rtk_std_hgt):
+        md.gps_accuracy_z = res.rtk_std_hgt
+    if res.has_orientation:
+        md.rotation_offset = 0.0
+        md.abs_orientation = _orientation_quat(
+            res.gimbal_roll_deg, res.gimbal_pitch_deg, res.gimbal_yaw_deg
+        )
+    if md.width_px == 0:
+        # EXIF lacked pixel dims: let the caller fill from the decode
+        pass
+    return md
+
+
 def extract_metadata(path: str) -> ImageMetadata:
+    native = extract_metadata_native(path)
+    if native is not None:
+        if native.width_px == 0:
+            try:
+                from PIL import Image as PILImage
+
+                with PILImage.open(path) as im:
+                    native.width_px, native.height_px = im.size
+            except Exception:
+                pass
+        return native
+    return _extract_metadata_pil(path)
+
+
+def _extract_metadata_pil(path: str) -> ImageMetadata:
+    """Fallback path: PIL-based parsing (no compiler available)."""
     md = ImageMetadata()
     try:
         from PIL import Image as PILImage

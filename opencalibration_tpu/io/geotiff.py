@@ -1,0 +1,260 @@
+"""Minimal GeoTIFF writer/reader (pure Python, no GDAL).
+
+The reference writes orthomosaic/DSM rasters through GDAL
+(reference src/ortho/ortho.cpp:745-963 createDSMGeoTIFF etc.); this
+environment has no GDAL, so this module implements the subset of
+TIFF 6.0 + GeoTIFF 1.1 the pipeline needs:
+
+* strip-organized little-endian TIFF, one IFD;
+* uint8 multi-band (RGBA orthomosaic, camera-id sidecars) and float32
+  single-band (DSM) pixel types, optional deflate compression;
+* georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
+  (33922) and a GeoKeyDirectory declaring a user-defined projected CS,
+  with the full WKT carried in the PCSCitation geokey and GDAL's
+  GDAL_METADATA ascii tag — the same custom-TM WKT the reference puts in
+  its GeoTIFFs (geo_coord.cpp getWKT).
+
+Readers: numpy round-trip of the files this module writes (for tests and
+the tile-streaming blend pass).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+# TIFF tags
+T_IMAGE_WIDTH = 256
+T_IMAGE_LENGTH = 257
+T_BITS_PER_SAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_SAMPLES_PER_PIXEL = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTE_COUNTS = 279
+T_PLANAR_CONFIG = 284
+T_EXTRA_SAMPLES = 338
+T_SAMPLE_FORMAT = 339
+T_MODEL_PIXEL_SCALE = 33550
+T_MODEL_TIEPOINT = 33922
+T_GEO_KEY_DIRECTORY = 34735
+T_GEO_ASCII_PARAMS = 34737
+T_GDAL_NODATA = 42113
+
+TYPE_SHORT = 3
+TYPE_LONG = 4
+TYPE_DOUBLE = 12
+TYPE_ASCII = 2
+
+_TYPE_SIZE = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_DOUBLE: 8, TYPE_ASCII: 1}
+
+
+def _pack_value(ttype, values):
+    fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[ttype]
+    return struct.pack("<" + fmt * len(values), *values)
+
+
+class _IFD:
+    def __init__(self):
+        self.entries = []  # (tag, type, count, payload_bytes)
+
+    def add(self, tag, ttype, values):
+        if ttype == TYPE_ASCII:
+            payload = values.encode("ascii") + b"\x00"
+            count = len(payload)
+        else:
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            payload = _pack_value(ttype, values)
+            count = len(values)
+        self.entries.append((tag, ttype, count, payload))
+
+    def serialize(self, data_start: int) -> Tuple[bytes, bytes]:
+        """Returns (ifd_bytes, out_of_line_data). data_start = file offset
+        where out-of-line data will be written."""
+        self.entries.sort(key=lambda e: e[0])
+        out_of_line = b""
+        entry_bytes = b""
+        for tag, ttype, count, payload in self.entries:
+            if len(payload) <= 4:
+                value_field = payload + b"\x00" * (4 - len(payload))
+            else:
+                offset = data_start + len(out_of_line)
+                value_field = struct.pack("<I", offset)
+                out_of_line += payload
+                if len(out_of_line) % 2:
+                    out_of_line += b"\x00"
+            entry_bytes += struct.pack("<HHI", tag, ttype, count) + value_field
+        ifd = struct.pack("<H", len(self.entries)) + entry_bytes + struct.pack("<I", 0)
+        return ifd, out_of_line
+
+
+def _geo_keys(wkt: Optional[str]):
+    """GeoKeyDirectory for a user-defined projected CS + citation."""
+    ascii_params = (wkt or "unknown") + "|"
+    # key entries: (KeyID, TIFFTagLocation, Count, Value/Offset)
+    keys = [
+        (1024, 0, 1, 1),  # GTModelTypeGeoKey = Projected
+        (1025, 0, 1, 1),  # GTRasterTypeGeoKey = PixelIsArea
+        (3072, 0, 1, 32767),  # ProjectedCSTypeGeoKey = user-defined
+        (3073, T_GEO_ASCII_PARAMS, len(ascii_params) - 1, 0),  # PCSCitation
+        (3076, 0, 1, 9001),  # ProjLinearUnitsGeoKey = metre
+    ]
+    header = (1, 1, 1, len(keys))
+    flat = list(header)
+    for k in keys:
+        flat.extend(k)
+    return flat, ascii_params
+
+
+def write_geotiff(
+    path: str,
+    image: np.ndarray,
+    origin_xy: Tuple[float, float],
+    pixel_size: Tuple[float, float],
+    wkt: Optional[str] = None,
+    nodata: Optional[float] = None,
+    compress: bool = True,
+):
+    """Write [H, W] float32 or [H, W, C] uint8 raster.
+
+    origin_xy: world (x, y) of the TOP-LEFT corner of pixel (0, 0);
+    pixel_size: (sx, sy) with sy > 0 (north-up rasters store y flipped,
+    i.e. world_y = origin_y - row * sy), matching GDAL conventions.
+    """
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = image[:, :, None]
+    H, W, C = image.shape
+    is_float = image.dtype.kind == "f"
+    if is_float:
+        image = image.astype("<f4")
+        bits = [32] * C
+        sample_format = [3] * C
+    else:
+        image = image.astype(np.uint8)
+        bits = [8] * C
+        sample_format = [1] * C
+
+    rows_per_strip = max(1, min(H, (1 << 20) // max(1, W * C * (4 if is_float else 1))))
+    strips = []
+    for r0 in range(0, H, rows_per_strip):
+        raw = image[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    ifd = _IFD()
+    ifd.add(T_IMAGE_WIDTH, TYPE_LONG, W)
+    ifd.add(T_IMAGE_LENGTH, TYPE_LONG, H)
+    ifd.add(T_BITS_PER_SAMPLE, TYPE_SHORT, bits)
+    ifd.add(T_COMPRESSION, TYPE_SHORT, 8 if compress else 1)  # 8 = deflate
+    ifd.add(T_PHOTOMETRIC, TYPE_SHORT, 2 if (C >= 3 and not is_float) else 1)
+    ifd.add(T_SAMPLES_PER_PIXEL, TYPE_SHORT, C)
+    ifd.add(T_ROWS_PER_STRIP, TYPE_LONG, rows_per_strip)
+    ifd.add(T_PLANAR_CONFIG, TYPE_SHORT, 1)
+    ifd.add(T_SAMPLE_FORMAT, TYPE_SHORT, sample_format)
+    if C == 4 and not is_float:
+        ifd.add(T_EXTRA_SAMPLES, TYPE_SHORT, [2])  # unassociated alpha
+    ifd.add(T_MODEL_PIXEL_SCALE, TYPE_DOUBLE, [pixel_size[0], pixel_size[1], 0.0])
+    ifd.add(
+        T_MODEL_TIEPOINT, TYPE_DOUBLE,
+        [0.0, 0.0, 0.0, origin_xy[0], origin_xy[1], 0.0],
+    )
+    geo_dir, ascii_params = _geo_keys(wkt)
+    ifd.add(T_GEO_KEY_DIRECTORY, TYPE_SHORT, geo_dir)
+    ifd.add(T_GEO_ASCII_PARAMS, TYPE_ASCII, ascii_params)
+    if nodata is not None:
+        ifd.add(T_GDAL_NODATA, TYPE_ASCII, repr(float(nodata)))
+
+    # layout: header(8) | strips | strip tables resolved into IFD | IFD | data
+    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
+    strip_offsets = []
+    pos = 8
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+        if pos % 2:
+            pos += 1
+    ifd.add(T_STRIP_OFFSETS, TYPE_LONG, strip_offsets)
+    ifd.add(T_STRIP_BYTE_COUNTS, TYPE_LONG, [len(s) for s in strips])
+
+    ifd_offset = pos
+    # out-of-line data goes after the IFD; IFD size depends only on entry count
+    n_entries = len(ifd.entries)
+    ifd_size = 2 + n_entries * 12 + 4
+    ifd_bytes, out_of_line = ifd.serialize(ifd_offset + ifd_size)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_offset))
+        p = 8
+        for s, off in zip(strips, strip_offsets):
+            assert p == off
+            f.write(s)
+            p += len(s)
+            if p % 2:
+                f.write(b"\x00")
+                p += 1
+        f.write(ifd_bytes)
+        f.write(out_of_line)
+
+
+def read_geotiff(path: str):
+    """Read a (this-module or compatible strip-based) GeoTIFF.
+
+    Returns (image [H, W, C], origin_xy, pixel_size, wkt_or_None).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    order, magic, ifd_off = struct.unpack_from("<2sHI", data, 0)
+    if order != b"II" or magic != 42:
+        raise ValueError("not a little-endian TIFF")
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, ttype, count = struct.unpack_from("<HHI", data, ifd_off + 2 + i * 12)
+        value_off = ifd_off + 2 + i * 12 + 8
+        size = _TYPE_SIZE[ttype] * count
+        if size <= 4:
+            payload = data[value_off : value_off + size]
+        else:
+            (off,) = struct.unpack_from("<I", data, value_off)
+            payload = data[off : off + size]
+        if ttype == TYPE_ASCII:
+            tags[tag] = payload.rstrip(b"\x00").decode("ascii", "replace")
+        else:
+            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_DOUBLE: "d"}[ttype]
+            tags[tag] = list(struct.unpack("<" + fmt * count, payload))
+
+    W = tags[T_IMAGE_WIDTH][0]
+    H = tags[T_IMAGE_LENGTH][0]
+    C = tags.get(T_SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags[T_BITS_PER_SAMPLE][0]
+    sf = tags.get(T_SAMPLE_FORMAT, [1])[0]
+    compression = tags.get(T_COMPRESSION, [1])[0]
+    rps = tags.get(T_ROWS_PER_STRIP, [H])[0]
+    dtype = np.dtype("<f4") if (sf == 3 and bits == 32) else np.uint8
+
+    chunks = []
+    for off, cnt in zip(tags[T_STRIP_OFFSETS], tags[T_STRIP_BYTE_COUNTS]):
+        raw = data[off : off + cnt]
+        if compression == 8:
+            raw = zlib.decompress(raw)
+        elif compression != 1:
+            raise ValueError(f"unsupported compression {compression}")
+        chunks.append(raw)
+    flat = b"".join(chunks)
+    img = np.frombuffer(flat, dtype=dtype, count=H * W * C).reshape(H, W, C).copy()
+
+    scale = tags.get(T_MODEL_PIXEL_SCALE)
+    tie = tags.get(T_MODEL_TIEPOINT)
+    origin = (tie[3], tie[4]) if tie else (0.0, 0.0)
+    px = (scale[0], scale[1]) if scale else (1.0, 1.0)
+    wkt = None
+    if T_GEO_ASCII_PARAMS in tags:
+        wkt = tags[T_GEO_ASCII_PARAMS].split("|")[0]
+        if wkt == "unknown":
+            wkt = None
+    return img, origin, px, wkt

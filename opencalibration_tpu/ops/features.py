@@ -156,9 +156,34 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     vals, idx = jax.lax.top_k(flat, max_features)  # [B, K]
     lvl = (idx // (H * W)).astype(jnp.int32)
     rem = idx % (H * W)
-    y = (rem // W).astype(jnp.float32)
-    x = (rem % W).astype(jnp.float32)
+    yi = (rem // W).astype(jnp.int32)
+    xi = (rem % W).astype(jnp.int32)
     valid = jnp.isfinite(vals) & (vals > threshold)
+
+    # subpixel refinement: 2d quadratic fit on the 3x3 response
+    # neighborhood at the keypoint's level (AKAZE does the equivalent
+    # 3-var fit; integer-grid keypoints cost ~0.3px RMS measurement noise
+    # which propagates straight into BA pose error)
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(max_features, 1)
+    yc = jnp.clip(yi, 1, H - 2)
+    xc = jnp.clip(xi, 1, W - 2)
+
+    def n(dy, dx):
+        return Rb[bi, lvl, yc + dy, xc + dx]
+
+    dx = 0.5 * (n(0, 1) - n(0, -1))
+    dy = 0.5 * (n(1, 0) - n(-1, 0))
+    dxx = n(0, 1) + n(0, -1) - 2.0 * n(0, 0)
+    dyy = n(1, 0) + n(-1, 0) - 2.0 * n(0, 0)
+    dxy = 0.25 * (n(1, 1) - n(1, -1) - n(-1, 1) + n(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-18, 1.0, det)
+    ox = -(dyy * dx - dxy * dy) / det_safe
+    oy = -(dxx * dy - dxy * dx) / det_safe
+    ok = (jnp.abs(det) >= 1e-18) & (jnp.abs(ox) <= 0.6) & (jnp.abs(oy) <= 0.6)
+    x = xc.astype(jnp.float32) + jnp.where(ok, ox, 0.0).astype(jnp.float32)
+    y = yc.astype(jnp.float32) + jnp.where(ok, oy, 0.0).astype(jnp.float32)
+
     return dict(
         xy=jnp.stack([x, y], axis=-1),
         strength=jnp.where(valid, vals, 0.0),

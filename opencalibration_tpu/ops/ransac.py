@@ -124,6 +124,62 @@ def _sample_hypotheses(key, quality, valid, n_hyp, min_points, has_quality):
     return idx  # [n_hyp, min_points]
 
 
+def _fundamental_degensac(F, score, inliers, p1, p2, valid, threshold):
+    """Plane-degeneracy recovery: fit a homography to the first 4 F-inliers
+    (2x threshold); if >= 70% of F-inliers are H-inliers, estimate the
+    epipole from the off-plane points and test F = [e']_x H."""
+    dtype = p1.dtype
+    n = p1.shape[0]
+    h_threshold = 2.0 * threshold
+
+    n_inl = jnp.sum(inliers)
+    # first 4 inlier indices (stable order like the reference's loop)
+    order = jnp.argsort(~inliers, stable=True)
+    h_idx = order[:4]
+    H = M.homography_fit(p1[h_idx], p2[h_idx])
+    h_err = M.homography_error(H, p1, p2)
+    h_inl = inliers & (h_err < h_threshold)
+    h_ratio = jnp.sum(h_inl) / jnp.maximum(n_inl, 1)
+
+    # refit H on its inliers, reclassify
+    H2 = M.homography_fit_weighted(p1, p2, h_inl.astype(dtype))
+    h_err2 = M.homography_error(H2, p1, p2)
+    h_inl2 = inliers & (h_err2 < h_threshold)
+    off_plane = inliers & ~h_inl2
+    n_off = jnp.sum(off_plane)
+
+    # epipole from off-plane points: rows x2 x (H x1), smallest right
+    # singular vector (masked rows zeroed)
+    o = jnp.ones_like(p1[..., :1])
+    x1 = jnp.concatenate([p1, o], axis=-1)
+    x2 = jnp.concatenate([p2, o], axis=-1)
+    Hx1 = x1 @ H2.T
+    rows = jnp.cross(x2, Hx1) * off_plane[:, None].astype(dtype)
+    AtA = rows.T @ rows
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[:, 0]
+    e_cross = jnp.array(
+        [[0.0, -e[2], e[1]], [e[2], 0.0, -e[0]], [-e[1], e[0], 0.0]], dtype
+    )
+    F_cand = e_cross @ H2
+    Uf, df, Vft = jnp.linalg.svd(F_cand)
+    F_cand = (Uf * df.at[2].set(0.0)[None, :]) @ Vft
+
+    cand_err = M.epipolar_error(F_cand, p1, p2)
+    cand_per, cand_inl = _msac_score(cand_err, threshold, valid)
+    cand_score = jnp.sum(cand_per)
+
+    use = (
+        (n_inl >= 4) & (h_ratio >= 0.7) & (n_off >= 2)
+        & jnp.isfinite(cand_score) & (cand_score > score)
+        & jnp.all(jnp.isfinite(F_cand))
+    )
+    F_out = jnp.where(use, F_cand, F)
+    score_out = jnp.where(use, cand_score, score)
+    inl_out = jnp.where(use, cand_inl, inliers)
+    return F_out, score_out, inl_out
+
+
 @functools.partial(
     jax.jit, static_argnames=("model_type", "num_hypotheses", "seed")
 )
@@ -208,6 +264,13 @@ def ransac(
         None,
         length=MAX_INNER_ITERATIONS,
     )
+
+    if model_type == "fundamental":
+        # DEGENSAC: if F-inliers are plane-dominated, recover F = [e']_x H
+        # (reference fundamental_matrix_model.cpp:123-215)
+        best_model, best_score, best_inliers = _fundamental_degensac(
+            best_model, best_score, best_inliers, p1, p2, valid, mdef.threshold
+        )
 
     ok = feasible & (best_score > 0)
     nan_model = jnp.full((3, 3), jnp.nan, dtype)

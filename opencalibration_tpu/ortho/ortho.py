@@ -1,0 +1,677 @@
+"""Orthomosaic generation: thumbnail mosaic, DSM, full-resolution
+layered rendering, color balance, blending, textured OBJ export.
+
+TPU-native re-design of reference src/ortho/ortho.cpp:
+
+* the per-pixel triangle-walk ray trace (ortho.cpp:560-580) becomes a
+  batched barycentric mesh-z interpolation over whole pixel grids;
+* per-pixel 5-NN camera projection + sampling (:1206-1429) becomes a
+  [K, tile_h, tile_w] vmapped project/gather kernel per tile, with the
+  per-tile candidate camera set chosen on host;
+* the two GeoTIFF passes (layers then blend, :1431-2050) keep the
+  reference's structure — cache-aware tile order, full-res LRU image
+  cache with prefetch, Lab color correspondences at layer overlaps,
+  color-balance solve, pull-push fill + Laplacian blending — with the
+  pixel math on device and GDAL replaced by io.geotiff.
+
+Coordinate convention: world x = east, y = north; raster row 0 = max_y.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opencalibration_tpu.ops.distort import image_from_3d, image_to_3d
+from opencalibration_tpu.ops.quaternion import quat_rotate_inverse
+from opencalibration_tpu.ortho.blending import (
+    compute_blend_weight,
+    laplacian_blend,
+    pull_push_fill,
+)
+from opencalibration_tpu.ortho.color_balance import (
+    ColorCorrespondence,
+    apply_correction,
+    solve_color_balance,
+)
+from opencalibration_tpu.ortho.image_cache import FullResolutionImageCache
+from opencalibration_tpu.ortho.tile_ordering import compute_cache_aware_tile_order
+from opencalibration_tpu.types.camera import CameraModel, stack_cameras
+from opencalibration_tpu.types.graph import MeasurementGraph, SurfaceModel
+
+MAX_CAMERAS_PER_PIXEL = 5  # reference ortho.cpp closest5
+DEFAULT_TILE = 256
+
+
+@dataclasses.dataclass
+class OrthoBounds:
+    min_x: float
+    max_x: float
+    min_y: float
+    max_y: float
+    mean_surface_z: float
+
+
+@dataclasses.dataclass
+class OrthoContext:
+    bounds: OrthoBounds
+    gsd: float
+    involved_nodes: List[int]
+    mean_camera_z: float
+    average_camera_elevation: float
+    mesh: object  # TriMesh
+
+
+@dataclasses.dataclass
+class OrthoMosaic:
+    """reference ortho.hpp OrthoMosaic."""
+
+    rgba: np.ndarray  # [H, W, 4] uint8
+    dsm: np.ndarray  # [H, W] float32
+    overlap: np.ndarray  # [H, W] uint16
+    camera_index: np.ndarray  # [H, W] int64 node id or -1
+    gsd: float = 0.0
+    origin_xy: Tuple[float, float] = (0.0, 0.0)
+
+
+def calculate_bounds(surfaces: Sequence[SurfaceModel]) -> Optional[OrthoBounds]:
+    """reference ortho.cpp:283-342."""
+    xs, ys, zs = [], [], []
+    for s in surfaces:
+        if s.mesh is not None and s.mesh.num_vertices > 0:
+            v = s.mesh.vertices
+            xs += [v[:, 0].min(), v[:, 0].max()]
+            ys += [v[:, 1].min(), v[:, 1].max()]
+            zs += list(v[np.isfinite(v[:, 2]), 2])
+        elif s.cloud:
+            pts = np.concatenate(s.cloud)
+            xs += [pts[:, 0].min(), pts[:, 0].max()]
+            ys += [pts[:, 1].min(), pts[:, 1].max()]
+            zs += list(pts[:, 2])
+    if not xs:
+        return None
+    return OrthoBounds(
+        min(xs), max(xs), min(ys), max(ys),
+        float(np.mean(zs)) if zs else 0.0,
+    )
+
+
+def calculate_gsd(
+    graph: MeasurementGraph,
+    model_store: Dict[int, CameraModel],
+    involved_nodes: Sequence[int],
+    mean_surface_z: float,
+    thumbnail: bool,
+) -> float:
+    """reference ortho.cpp:344-377: angular resolution of the central
+    pixel x average height above ground."""
+    arc = 0.0
+    mean_z = 0.0
+    count = 0
+    for nid in involved_nodes:
+        node = graph.get_node(nid)
+        model = model_store[node.payload.model_id]
+        h = 1e-3
+        p0 = np.asarray(image_from_3d(jnp.asarray([0.0, 0.0, 1.0]), model))
+        p1 = np.asarray(image_from_3d(jnp.asarray([h, 0.0, 1.0]), model))
+        arc_pixel = h / max(np.linalg.norm(p0 - p1), 1e-12)
+        if thumbnail and node.payload.thumbnail is not None:
+            tscale = node.payload.thumbnail.shape[0] / max(
+                float(model.pixels_rows), 1.0
+            )
+            arc_pixel /= tscale
+        arc = (arc * count + arc_pixel) / (count + 1)
+        mean_z = (mean_z * count + node.payload.position[2]) / (count + 1)
+        count += 1
+    elevation = mean_z - mean_surface_z
+    return max(abs(elevation * arc), 0.001)
+
+
+def prepare_context(
+    surfaces, graph, model_store, thumbnail: bool
+) -> Optional[OrthoContext]:
+    bounds = calculate_bounds(surfaces)
+    if bounds is None:
+        return None
+    involved = [
+        nid
+        for nid, node in sorted(graph.nodes())
+        if np.isfinite(np.asarray(node.payload.orientation)).all()
+        and np.isfinite(np.asarray(node.payload.position)).all()
+    ]
+    if not involved:
+        return None
+    gsd = calculate_gsd(graph, model_store, involved, bounds.mean_surface_z, thumbnail)
+    mean_cam_z = float(
+        np.mean([graph.get_node(n).payload.position[2] for n in involved])
+    )
+    mesh = None
+    for s in surfaces:
+        if s.mesh is not None and s.mesh.num_vertices > 0:
+            mesh = s.mesh
+            break
+    if mesh is None:
+        return None
+    return OrthoContext(
+        bounds=bounds, gsd=gsd, involved_nodes=involved,
+        mean_camera_z=mean_cam_z,
+        average_camera_elevation=mean_cam_z - bounds.mean_surface_z,
+        mesh=mesh,
+    )
+
+
+def _clamp_resolution(width, height, max_megapixels: float):
+    if max_megapixels and max_megapixels > 0:
+        mp = width * height / 1e6
+        if mp > max_megapixels:
+            scale = math.sqrt(max_megapixels / mp)
+            return max(1, int(width * scale)), max(1, int(height * scale)), 1.0 / scale
+    return width, height, 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _sample_cameras_kernel(
+    points,  # [P, 3] world sample points
+    cam_quats,  # [K, 4]
+    cam_pos,  # [K, 3]
+    models,  # batched CameraModel [K]
+    images,  # [K, Hmax, Wmax, C] float32
+    img_hw,  # [K, 2] actual sizes
+    img_scale,  # [K] image px per model px (thumbnail scale)
+    cam_valid,  # [K]
+    avg_elevation,
+    K: int,
+):
+    """Project P points into K cameras; bilinear-sample colors + weights.
+
+    Returns colors [K, P, C], weights [K, P] (0 where invalid)."""
+
+    def per_cam(q, t, model, img, hw, scale, ok):
+        ray = quat_rotate_inverse(q[None], points - t[None])  # [P, 3]
+        in_front = ray[:, 2] > 0
+        px = jax.vmap(lambda r: image_from_3d(r, model))(ray)  # [P, 2] model px
+        ipx = px * scale
+        h = hw[0].astype(px.dtype)
+        w = hw[1].astype(px.dtype)
+        inside = (
+            (ipx[:, 0] > 0) & (ipx[:, 0] < w - 1)
+            & (ipx[:, 1] > 0) & (ipx[:, 1] < h - 1)
+        )
+        x0 = jnp.clip(jnp.floor(ipx[:, 0]).astype(jnp.int32), 0, img.shape[1] - 2)
+        y0 = jnp.clip(jnp.floor(ipx[:, 1]).astype(jnp.int32), 0, img.shape[0] - 2)
+        fx = jnp.clip(ipx[:, 0] - x0, 0.0, 1.0)[:, None]
+        fy = jnp.clip(ipx[:, 1] - y0, 0.0, 1.0)[:, None]
+        c00 = img[y0, x0]
+        c01 = img[y0, x0 + 1]
+        c10 = img[y0 + 1, x0]
+        c11 = img[y0 + 1, x0 + 1]
+        color = (
+            c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy + c11 * fx * fy
+        )
+        horiz = jnp.linalg.norm(points[:, :2] - t[None, :2], axis=1)
+        wgt = compute_blend_weight(
+            ipx[:, 0], ipx[:, 1], w, h, horiz / jnp.maximum(avg_elevation, 1e-6)
+        )
+        wgt = jnp.where(in_front & inside & ok, wgt, 0.0)
+        return color, wgt
+
+    colors, weights = jax.vmap(per_cam)(
+        cam_quats, cam_pos, models, images, img_hw, img_scale, cam_valid
+    )
+    return colors, weights
+
+
+def _stack_thumbnails(graph, nodes):
+    """Pad thumbnails to a common size; Lab uint8 -> float32."""
+    thumbs = []
+    hw = []
+    for nid in nodes:
+        t = graph.get_node(nid).payload.thumbnail
+        if t is None:
+            t = np.zeros((2, 2, 3), np.uint8)
+        thumbs.append(t.astype(np.float32))
+        hw.append(t.shape[:2])
+    H = max(t.shape[0] for t in thumbs)
+    W = max(t.shape[1] for t in thumbs)
+    out = np.zeros((len(thumbs), H, W, 3), np.float32)
+    for i, t in enumerate(thumbs):
+        out[i, : t.shape[0], : t.shape[1]] = t
+    return out, np.asarray(hw, np.int32)
+
+
+def generate_orthomosaic(
+    surfaces, graph, model_store, max_megapixels: float = 4.0
+) -> Optional[OrthoMosaic]:
+    """Thumbnail orthomosaic (reference generateOrthomosaic,
+    ortho.cpp:474-653): best-weight thumbnail pixel per output pixel,
+    plus DSM / overlap / camera-index rasters."""
+    ctx = prepare_context(surfaces, graph, model_store, thumbnail=True)
+    if ctx is None:
+        return None
+    b = ctx.bounds
+    width = max(int((b.max_x - b.min_x) / ctx.gsd), 1)
+    height = max(int((b.max_y - b.min_y) / ctx.gsd), 1)
+    if not np.isfinite(width) or width < 1:
+        width = 100
+    if not np.isfinite(height) or height < 1:
+        height = 100
+    width, height, gsd_scale = _clamp_resolution(width, height, max_megapixels)
+    gsd = ctx.gsd * gsd_scale
+
+    xs = b.min_x + gsd * np.arange(width)
+    ys = b.max_y - gsd * np.arange(height)
+    gx, gy = np.meshgrid(xs, ys)  # [H, W]
+    flat_xy = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    z = ctx.mesh.interpolate_z(flat_xy)  # [P]
+    valid_z = np.isfinite(z)
+    points = np.concatenate([flat_xy, np.where(valid_z, z, 0.0)[:, None]], axis=1)
+
+    nodes = ctx.involved_nodes
+    import scipy.spatial
+
+    cam_xy = np.stack(
+        [np.asarray(graph.get_node(n).payload.position[:2]) for n in nodes]
+    )
+    tree = scipy.spatial.cKDTree(cam_xy)
+    K = min(MAX_CAMERAS_PER_PIXEL, len(nodes))
+    _, knn = tree.query(flat_xy, k=K)
+    knn = np.atleast_2d(knn.T).T.reshape(len(flat_xy), K)
+
+    thumbs, thumb_hw = _stack_thumbnails(graph, nodes)
+    scales = np.asarray(
+        [
+            thumb_hw[i][0] / max(float(model_store[graph.get_node(n).payload.model_id].pixels_rows), 1.0)
+            for i, n in enumerate(nodes)
+        ],
+        np.float32,
+    )
+    quats = np.stack([np.asarray(graph.get_node(n).payload.orientation) for n in nodes])
+    poss = np.stack([np.asarray(graph.get_node(n).payload.position) for n in nodes])
+    models = stack_cameras(
+        [model_store[graph.get_node(n).payload.model_id].astype(jnp.float32) for n in nodes]
+    )
+
+    # evaluate ALL cameras for every pixel (few thumbnails, cheap), then
+    # restrict choice to the 5 GPS-nearest per pixel like the reference
+    colors, weights = _sample_cameras_kernel(
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(quats, jnp.float32),
+        jnp.asarray(poss, jnp.float32),
+        models,
+        jnp.asarray(thumbs),
+        jnp.asarray(thumb_hw),
+        jnp.asarray(scales),
+        jnp.ones(len(nodes), bool),
+        jnp.asarray(ctx.average_camera_elevation, jnp.float32),
+        K=len(nodes),
+    )
+    colors = np.asarray(colors)  # [N, P, 3]
+    weights = np.asarray(weights)  # [N, P]
+
+    P = len(flat_xy)
+    knn_w = np.take_along_axis(weights.T, knn, axis=1)  # [P, K]
+    overlap = (knn_w > 0).sum(axis=1).astype(np.uint16)
+    best_k = np.argmax(knn_w, axis=1)
+    best_cam = knn[np.arange(P), best_k]
+    best_w = knn_w[np.arange(P), best_k]
+    got = (best_w > 0) & valid_z
+
+    rgba = np.zeros((P, 4), np.uint8)
+    lab = colors[best_cam, np.arange(P)]  # [P, 3] Lab
+    import cv2
+
+    bgr = cv2.cvtColor(
+        np.clip(lab, 0, 255).astype(np.uint8).reshape(1, P, 3), cv2.COLOR_Lab2BGR
+    ).reshape(P, 3)
+    rgba[:, :3] = bgr
+    rgba[:, 3] = np.where(got, 255, 0)
+    # background checkerboard (reference ortho.cpp:620-626)
+    rows = np.arange(P) // width
+    cols = np.arange(P) % width
+    grey = np.where((rows + cols) % 2 == 0, 64, 128).astype(np.uint8)
+    for c in range(3):
+        rgba[:, c] = np.where(got, rgba[:, c], grey)
+
+    cam_ids = np.asarray(nodes)[best_cam]
+    camera_index = np.where(got, cam_ids, -1)
+
+    return OrthoMosaic(
+        rgba=rgba.reshape(height, width, 4),
+        dsm=np.where(valid_z, z, np.nan).reshape(height, width).astype(np.float32),
+        overlap=overlap.reshape(height, width),
+        camera_index=camera_index.reshape(height, width),
+        gsd=gsd,
+        origin_xy=(b.min_x, b.max_y),
+    )
+
+
+def generate_dsm_geotiff(
+    path: str, surfaces, graph, model_store, geocoord=None,
+    max_megapixels: float = 16.0,
+) -> bool:
+    """Float32 DSM GeoTIFF (reference generateDSMGeoTIFF, ortho.cpp:745-963)."""
+    ctx = prepare_context(surfaces, graph, model_store, thumbnail=False)
+    if ctx is None:
+        return False
+    b = ctx.bounds
+    width = max(int((b.max_x - b.min_x) / ctx.gsd), 1)
+    height = max(int((b.max_y - b.min_y) / ctx.gsd), 1)
+    width, height, gsd_scale = _clamp_resolution(width, height, max_megapixels)
+    gsd = ctx.gsd * gsd_scale
+    xs = b.min_x + gsd * np.arange(width)
+    ys = b.max_y - gsd * np.arange(height)
+    gx, gy = np.meshgrid(xs, ys)
+    z = ctx.mesh.interpolate_z(np.stack([gx.ravel(), gy.ravel()], axis=1))
+    dsm = z.reshape(height, width).astype(np.float32)
+    nodata = -32767.0
+    dsm = np.where(np.isfinite(dsm), dsm, nodata)
+    from opencalibration_tpu.io.geotiff import write_geotiff
+
+    wkt = geocoord.get_wkt() if geocoord is not None and geocoord.is_initialized() else None
+    write_geotiff(path, dsm, (b.min_x, b.max_y), (gsd, gsd), wkt=wkt, nodata=nodata)
+    return True
+
+
+class OrthoJob:
+    """Full-resolution orthomosaic render job, split into the pipeline's
+    GENERATE_LAYERS / COLOR_BALANCE / BLEND_LAYERS phases
+    (reference generateLayeredGeoTIFF + solveColorBalance +
+    blendLayeredGeoTIFF, ortho.cpp:966-2050). Layers are held per tile in
+    memory (no intermediate layered file) — same math, flatter plumbing.
+
+    Usage: job = OrthoJob(...); job.pass_layers(); job.solve_balance();
+    job.pass_blend(path) — or generate_ortho_geotiff() for all at once.
+    """
+
+    def __init__(
+        self,
+        surfaces,
+        graph,
+        model_store,
+        geocoord=None,
+        max_megapixels: float = 64.0,
+        tile_size: int = DEFAULT_TILE,
+        cache_images: int = 16,
+        blend_levels: int = 4,
+    ):
+        self.ok = False
+        self.correspondences: List[ColorCorrespondence] = []
+        self.balance = None
+        self._setup(surfaces, graph, model_store, geocoord, max_megapixels,
+                    tile_size, cache_images, blend_levels)
+
+    def _setup(self, surfaces, graph, model_store, geocoord, max_megapixels,
+               tile_size, cache_images, blend_levels):
+        self.graph = graph
+        self.model_store = model_store
+        self.geocoord = geocoord
+        self.blend_levels = blend_levels
+        self.tile_size = tile_size
+        ctx = prepare_context(surfaces, graph, model_store, thumbnail=False)
+        if ctx is None:
+            return
+        b = ctx.bounds
+        width = max(int((b.max_x - b.min_x) / ctx.gsd), 1)
+        height = max(int((b.max_y - b.min_y) / ctx.gsd), 1)
+        width, height, gsd_scale = _clamp_resolution(width, height, max_megapixels)
+        gsd = ctx.gsd * gsd_scale
+
+        nodes = ctx.involved_nodes
+        import scipy.spatial
+
+        graph = self.graph
+        model_store = self.model_store
+        cam_xy = np.stack(
+            [np.asarray(graph.get_node(n).payload.position[:2]) for n in nodes]
+        )
+        tree = scipy.spatial.cKDTree(cam_xy)
+
+        tiles_x = (width + tile_size - 1) // tile_size
+        tiles_y = (height + tile_size - 1) // tile_size
+
+        # per-tile candidate cameras (findTileCameras, ortho.cpp:1104-1160)
+        tile_cams: Dict[int, set] = {}
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                cx = b.min_x + gsd * (tx + 0.5) * tile_size
+                cy = b.max_y - gsd * (ty + 0.5) * tile_size
+                k = min(MAX_CAMERAS_PER_PIXEL + 3, len(nodes))
+                _, nn = tree.query([cx, cy], k=k)
+                tile_cams[ty * tiles_x + tx] = {int(i) for i in np.atleast_1d(nn)}
+
+        order = compute_cache_aware_tile_order(tile_cams, tiles_x, tiles_y, cache_images)
+        cache = FullResolutionImageCache(max_images=cache_images)
+
+        quats_all = np.stack([np.asarray(graph.get_node(n).payload.orientation) for n in nodes])
+        poss_all = np.stack([np.asarray(graph.get_node(n).payload.position) for n in nodes])
+
+        import cv2
+
+        def load_lab(idx):
+            node = graph.get_node(nodes[idx])
+            img = cache.get(node.payload.path)
+            if img is None:
+                return None
+            return cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
+
+        KMAX = MAX_CAMERAS_PER_PIXEL
+        blend_levels = self.blend_levels
+
+        def render_tile(tx, ty, corrections=None, correspondences=None):
+            x0 = tx * tile_size
+            y0 = ty * tile_size
+            tw = min(tile_size, width - x0)
+            th = min(tile_size, height - y0)
+            xs = b.min_x + gsd * (x0 + np.arange(tw))
+            ys = b.max_y - gsd * (y0 + np.arange(th))
+            gx, gy = np.meshgrid(xs, ys)
+            flat_xy = np.stack([gx.ravel(), gy.ravel()], axis=1)
+            z = ctx.mesh.interpolate_z(flat_xy)
+            valid_z = np.isfinite(z)
+            points = np.concatenate([flat_xy, np.where(valid_z, z, 0.0)[:, None]], axis=1)
+
+            cams = sorted(tile_cams[ty * tiles_x + tx])[:KMAX]
+            imgs, hws, idxs = [], [], []
+            for ci in cams:
+                lab = load_lab(ci)
+                if lab is None:
+                    continue
+                imgs.append(lab)
+                hws.append(lab.shape[:2])
+                idxs.append(ci)
+            if not imgs:
+                return np.zeros((th, tw, 4), np.uint8), z.reshape(th, tw)
+            Hm = max(i.shape[0] for i in imgs)
+            Wm = max(i.shape[1] for i in imgs)
+            stack = np.zeros((len(imgs), Hm, Wm, 3), np.float32)
+            for i, im in enumerate(imgs):
+                stack[i, : im.shape[0], : im.shape[1]] = im
+            models = stack_cameras(
+                [
+                    model_store[graph.get_node(nodes[i]).payload.model_id].astype(jnp.float32)
+                    for i in idxs
+                ]
+            )
+            scales = np.asarray(
+                [
+                    hws[i][0]
+                    / max(float(model_store[graph.get_node(nodes[idxs[i]]).payload.model_id].pixels_rows), 1.0)
+                    for i in range(len(idxs))
+                ],
+                np.float32,
+            )
+            colors, weights = _sample_cameras_kernel(
+                jnp.asarray(points, jnp.float32),
+                jnp.asarray(quats_all[idxs], jnp.float32),
+                jnp.asarray(poss_all[idxs], jnp.float32),
+                models,
+                jnp.asarray(stack),
+                jnp.asarray(np.asarray(hws, np.int32)),
+                jnp.asarray(scales),
+                jnp.ones(len(idxs), bool),
+                jnp.asarray(ctx.average_camera_elevation, jnp.float32),
+                K=len(idxs),
+            )
+            colors = np.array(np.asarray(colors)).reshape(len(idxs), th, tw, 3)
+            weights = (np.asarray(weights) * valid_z[None]).reshape(len(idxs), th, tw)
+
+            if correspondences is not None and len(idxs) >= 2:
+                # sample Lab correspondences where the top-2 layers overlap
+                wsort = np.argsort(-weights, axis=0)
+                a = wsort[0]
+                bb = wsort[1]
+                ii, jj = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
+                both = (
+                    (np.take_along_axis(weights, a[None], 0)[0] > 0)
+                    & (np.take_along_axis(weights, bb[None], 0)[0] > 0)
+                )
+                pick = np.argwhere(both)[::97]  # sparse sampling
+                for py, px in pick:
+                    ka, kb = a[py, px], bb[py, px]
+                    correspondences.append(
+                        ColorCorrespondence(
+                            camera_id_a=nodes[idxs[ka]], camera_id_b=nodes[idxs[kb]],
+                            model_id_a=graph.get_node(nodes[idxs[ka]]).payload.model_id,
+                            model_id_b=graph.get_node(nodes[idxs[kb]]).payload.model_id,
+                            lab_a=colors[ka, py, px], lab_b=colors[kb, py, px],
+                            normalized_radius_a=0.5, normalized_radius_b=0.5,
+                            view_angle_a=0.0, view_angle_b=0.0,
+                            normalized_x_a=0.0, normalized_y_a=0.0,
+                            normalized_x_b=0.0, normalized_y_b=0.0,
+                        )
+                    )
+                return None, None
+
+            # blend pass: apply color corrections, fill, Laplacian blend
+            if corrections is not None:
+                for i, ci in enumerate(idxs):
+                    cam_id = nodes[ci]
+                    params = corrections.per_image_params.get(cam_id)
+                    if params is not None:
+                        colors[i] = colors[i] - params.lab_offset[None, None, :]
+
+            w4 = weights[..., None]
+            filled = np.asarray(
+                pull_push_fill(jnp.asarray(colors), jnp.asarray(w4, jnp.float32))
+            )
+            blended = np.asarray(
+                laplacian_blend(
+                    jnp.asarray(filled), jnp.asarray(w4, jnp.float32),
+                    levels=min(blend_levels, max(1, int(math.log2(min(th, tw))) - 1)),
+                )
+            )
+            alpha = (weights.max(axis=0) > 0) & valid_z.reshape(th, tw)
+            lab8 = np.clip(blended, 0, 255).astype(np.uint8)
+            bgr = cv2.cvtColor(lab8, cv2.COLOR_Lab2BGR)
+            rgba = np.concatenate(
+                [bgr, np.where(alpha, 255, 0).astype(np.uint8)[..., None]], axis=2
+            )
+            return rgba, z.reshape(th, tw)
+
+        self._render_tile = render_tile
+        self._order = order
+        self._nodes = nodes
+        self._bounds = b
+        self._gsd = gsd
+        self._width = width
+        self._height = height
+        self.ok = True
+
+    def pass_layers(self):
+        """GENERATE_LAYERS: render every tile, collect Lab correspondences."""
+        if not self.ok:
+            return False
+        self.correspondences = []
+        for tx, ty in self._order:
+            self._render_tile(tx, ty, correspondences=self.correspondences)
+        return True
+
+    def solve_balance(self):
+        """COLOR_BALANCE: solve radiometric parameters."""
+        if not self.ok:
+            return False
+        cam_positions = {
+            nid: np.asarray(self.graph.get_node(nid).payload.position[:2])
+            for nid in self._nodes
+        }
+        self.balance = solve_color_balance(self.correspondences, cam_positions)
+        return True
+
+    def pass_blend(self, path: str) -> bool:
+        """BLEND_LAYERS: corrected render + Laplacian blend + GeoTIFF write."""
+        if not self.ok:
+            return False
+        out = np.zeros((self._height, self._width, 4), np.uint8)
+        for tx, ty in self._order:
+            rgba, _ = self._render_tile(tx, ty, corrections=self.balance)
+            x0, y0 = tx * self.tile_size, ty * self.tile_size
+            out[y0 : y0 + rgba.shape[0], x0 : x0 + rgba.shape[1]] = rgba
+
+        from opencalibration_tpu.io.geotiff import write_geotiff
+
+        b = self._bounds
+        wkt = (
+            self.geocoord.get_wkt()
+            if self.geocoord is not None and self.geocoord.is_initialized()
+            else None
+        )
+        write_geotiff(path, out, (b.min_x, b.max_y), (self._gsd, self._gsd), wkt=wkt)
+        return True
+
+
+def generate_ortho_geotiff(
+    path: str, surfaces, graph, model_store, geocoord=None,
+    max_megapixels: float = 64.0, tile_size: int = DEFAULT_TILE,
+    cache_images: int = 16, blend_levels: int = 4,
+) -> bool:
+    job = OrthoJob(
+        surfaces, graph, model_store, geocoord, max_megapixels,
+        tile_size, cache_images, blend_levels,
+    )
+    if not job.ok:
+        return False
+    job.pass_layers()
+    job.solve_balance()
+    return job.pass_blend(path)
+
+
+def generate_textured_obj(
+    path_prefix: str, surfaces, ortho_rgba: np.ndarray,
+    origin_xy: Tuple[float, float], gsd: float,
+) -> bool:
+    """OBJ + MTL + JPG textured mesh export
+    (reference generateTexturedOBJ, ortho.cpp:2052-2260): UVs from the
+    orthomosaic georeference."""
+    mesh = None
+    for s in surfaces:
+        if s.mesh is not None and s.mesh.num_vertices > 0:
+            mesh = s.mesh
+            break
+    if mesh is None:
+        return False
+    import cv2
+
+    h, w = ortho_rgba.shape[:2]
+    cv2.imwrite(path_prefix + ".jpg", ortho_rgba[..., :3])
+    name = path_prefix.split("/")[-1]
+    with open(path_prefix + ".mtl", "w") as f:
+        f.write(f"newmtl ortho\nKa 1 1 1\nKd 1 1 1\nmap_Kd {name}.jpg\n")
+    with open(path_prefix + ".obj", "w") as f:
+        f.write(f"mtllib {name}.mtl\nusemtl ortho\n")
+        for v in mesh.vertices:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for v in mesh.vertices:
+            u = (v[0] - origin_xy[0]) / (gsd * w)
+            vv = 1.0 - (origin_xy[1] - v[1]) / (gsd * h)
+            f.write(f"vt {u:.6f} {vv:.6f}\n")
+        for t in mesh.triangles:
+            a, bb, c = t[0] + 1, t[1] + 1, t[2] + 1
+            f.write(f"f {a}/{a} {bb}/{bb} {c}/{c}\n")
+    return True

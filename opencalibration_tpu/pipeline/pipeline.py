@@ -122,7 +122,16 @@ class Pipeline:
         self.skip_final_global_relax = False
         self.skip_mesh_refinement = False
         self.skip_dense_mesh = True
-        self.skip_orthomosaic = True
+
+        # ortho output configuration (reference Pipeline set_* setters)
+        self.ortho_path: Optional[str] = None
+        self.dsm_path: Optional[str] = None
+        self.thumbnail_path: Optional[str] = None
+        self.textured_obj_prefix: Optional[str] = None
+        self.ortho_max_megapixels: float = 64.0
+        self.generate_thumbnails = True
+        self.thumbnail_mosaic = None
+        self._ortho_job = None
 
     # --- public API -------------------------------------------------------
     def add(self, paths: Sequence[str]):
@@ -307,26 +316,81 @@ class Pipeline:
         return "NEXT" if last else "REPEAT"
 
     def _run_generate_thumbnail(self) -> str:
+        if self.generate_thumbnails and self.surfaces:
+            from opencalibration_tpu.ortho.ortho import generate_orthomosaic
+
+            self.thumbnail_mosaic = generate_orthomosaic(
+                self.surfaces, self.graph, self.model_store
+            )
+            if self.thumbnail_mosaic is not None and self.thumbnail_path:
+                import cv2
+
+                cv2.imwrite(self.thumbnail_path, self.thumbnail_mosaic.rgba)
         self._emit([], [], [], "thumbnail")
         return "NEXT"
 
     def _run_densify_mesh(self) -> str:
         if self.skip_dense_mesh:
             return "NEXT"
+        from opencalibration_tpu.dense.dense_stereo import densify_mesh
+
+        densify_mesh(self.graph, self.model_store, self.surfaces)
+        self._emit([], [], [], "densify", surfaces_updated=True)
         return "NEXT"
 
     def _run_dense_mesh_relax(self) -> str:
         if self.skip_dense_mesh:
             return "NEXT"
+        from opencalibration_tpu.surface.refine import refine_surfaces
+
+        self.surfaces = refine_surfaces(self.surfaces)
+        self._emit([], [], [], "dense mesh relax", surfaces_updated=True)
         return "NEXT"
 
+    def _wants_ortho(self) -> bool:
+        return bool(self.ortho_path or self.textured_obj_prefix or self.dsm_path)
+
     def _run_generate_layers(self) -> str:
+        if not self._wants_ortho() or not self.surfaces:
+            return "NEXT"
+        from opencalibration_tpu.ortho.ortho import OrthoJob, generate_dsm_geotiff
+
+        if self.dsm_path:
+            generate_dsm_geotiff(
+                self.dsm_path, self.surfaces, self.graph, self.model_store,
+                self.geocoord, max_megapixels=self.ortho_max_megapixels,
+            )
+        if self.ortho_path or self.textured_obj_prefix:
+            self._ortho_job = OrthoJob(
+                self.surfaces, self.graph, self.model_store, self.geocoord,
+                max_megapixels=self.ortho_max_megapixels,
+            )
+            if self._ortho_job.ok:
+                self._ortho_job.pass_layers()
+        self._emit([], [], [], "generate layers")
         return "NEXT"
 
     def _run_color_balance(self) -> str:
+        if self._ortho_job is not None and self._ortho_job.ok:
+            self._ortho_job.solve_balance()
+        self._emit([], [], [], "color balance")
         return "NEXT"
 
     def _run_blend_layers(self) -> str:
+        if self._ortho_job is not None and self._ortho_job.ok:
+            out_path = self.ortho_path or (
+                (self.textured_obj_prefix or "ortho") + "_texture.tif"
+            )
+            self._ortho_job.pass_blend(out_path)
+            if self.textured_obj_prefix:
+                from opencalibration_tpu.io.geotiff import read_geotiff
+                from opencalibration_tpu.ortho.ortho import generate_textured_obj
+
+                img, origin, px, _ = read_geotiff(out_path)
+                generate_textured_obj(
+                    self.textured_obj_prefix, self.surfaces, img, origin, px[0]
+                )
+        self._emit([], [], [], "blend layers")
         return "NEXT"
 
     def _run_complete(self) -> str:

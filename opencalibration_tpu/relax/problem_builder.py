@@ -346,6 +346,35 @@ def build_mesh_problem(
     node_model = {nid: graph.get_node(nid).payload.model_id for nid in cam_index}
     fwd_models = {mid: cam_models[mid].astype(jnp.float64) for mid in cam_models}
 
+    # ---- phases 1-2 (ground mesh only): multi-ray track costs
+    # (reference relax_problem.cpp:93-106, 608-929)
+    used_measurements = set()
+    covered_cells = {}
+    if options.ground_mesh:
+        from opencalibration_tpu.relax.tracks import build_multiray_tracks
+
+        track_rows, used_measurements, covered_cells = build_multiray_tracks(
+            graph, cam_index, node_model, fwd_models, quats, positions,
+            mesh, edge_list, grid_fraction,
+        )
+        if track_rows:
+            nt = len(track_rows["vert_idx"])
+            for i in range(nt):
+                b_vert.append(track_rows["vert_idx"][i])
+                b_trixy.append(track_rows["tri_xy"][i])
+                b_cam.append(track_rows["cam_idx"][i])
+                b_valid.append(track_rows["ray_valid"][i])
+                mid_raw = int(track_rows["model_i"][i])
+                b_model.append(model_index.get(mid_raw, 0))
+                b_pix.append(track_rows["pixel"][i])
+                b_dir.append(track_rows["fixed_dir"][i])
+
+    def _cell_of(nid, px):
+        m = fwd_models[node_model[nid]]
+        nx = px[0] / max(float(m.pixels_cols), 1.0)
+        ny = px[1] / max(float(m.pixels_rows), 1.0)
+        return (int(np.floor(nx / grid_fraction)), int(np.floor(ny / grid_fraction)))
+
     for edge_id in edge_list:
         e = graph.get_edge(edge_id)
         rel = e.payload
@@ -397,6 +426,18 @@ def build_mesh_problem(
         same_model = node_model[e.source] == node_model[e.dest]
         use_int = use_intrinsics and same_model
         for row, k in zip(tri, kidx):
+            # phase 3 skip rules (reference relax_problem.cpp:435-466):
+            # measurements in multi-ray tracks, or whose cells in BOTH
+            # images are already track-covered, are redundant
+            k1 = (e.source, int(rel.inlier_idx1[k]))
+            k2 = (e.dest, int(rel.inlier_idx2[k]))
+            if k1 in used_measurements or k2 in used_measurements:
+                continue
+            if covered_cells:
+                c1 = _cell_of(e.source, px1[k]) in covered_cells.get(e.source, ())
+                c2 = _cell_of(e.dest, px2[k]) in covered_cells.get(e.dest, ())
+                if c1 and c2:
+                    continue
             b_vert.append(row)
             b_trixy.append(mesh.vertices[row, :2])
             b_cam.append([cam_index[e.source], cam_index[e.dest], 0, 0, 0])

@@ -75,30 +75,83 @@ class TriMesh:
         e = np.sort(e, axis=1)
         return np.unique(e, axis=0)
 
-    def find_triangles(self, xy: np.ndarray) -> np.ndarray:
-        """Vectorized 2d point-in-triangle lookup: [N, 2] -> [N] triangle
-        index or -1. Replaces the warm-started walk searcher
-        (reference src/surface/intersect.cpp:10-170) with a batched test."""
-        xy = np.asarray(xy, np.float64).reshape(-1, 2)
+    def _triangle_bins(self, nbins: int = 64):
+        """Uniform-grid spatial index: bin -> candidate triangle ids
+        (cached). Replaces the warm-started walk searcher's locality
+        (reference src/surface/intersect.cpp:10-170) for batched lookups
+        without ever materializing an N x T test."""
+        cache = getattr(self, "_bin_cache", None)
+        if cache is not None and cache[0] == len(self.triangles):
+            return cache[1]
         v = self.vertices[:, :2]
-        a = v[self.triangles[:, 0]]  # [T, 2]
-        b = v[self.triangles[:, 1]]
-        c = v[self.triangles[:, 2]]
-        # barycentric sign tests, broadcast [N, T]
-        def cross(o, d, p):
-            return (d[None, :, 0] - o[None, :, 0]) * (p[:, None, 1] - o[None, :, 1]) - (
-                d[None, :, 1] - o[None, :, 1]
-            ) * (p[:, None, 0] - o[None, :, 0])
+        tv = v[self.triangles]  # [T, 3, 2]
+        lo = self.vertices[:, :2].min(axis=0)
+        hi = self.vertices[:, :2].max(axis=0)
+        span = np.maximum(hi - lo, 1e-9)
+        tmin = tv.min(axis=1)
+        tmax = tv.max(axis=1)
+        bx0 = np.clip(((tmin[:, 0] - lo[0]) / span[0] * nbins).astype(int), 0, nbins - 1)
+        bx1 = np.clip(((tmax[:, 0] - lo[0]) / span[0] * nbins).astype(int), 0, nbins - 1)
+        by0 = np.clip(((tmin[:, 1] - lo[1]) / span[1] * nbins).astype(int), 0, nbins - 1)
+        by1 = np.clip(((tmax[:, 1] - lo[1]) / span[1] * nbins).astype(int), 0, nbins - 1)
+        bins = {}
+        for t in range(len(self.triangles)):
+            for bx in range(bx0[t], bx1[t] + 1):
+                for by in range(by0[t], by1[t] + 1):
+                    bins.setdefault((bx, by), []).append(t)
+        index = (lo, span, nbins, {k: np.asarray(v_, np.int64) for k, v_ in bins.items()})
+        self._bin_cache = (len(self.triangles), index)
+        return index
 
-        d1 = cross(a, b, xy)
-        d2 = cross(b, c, xy)
-        d3 = cross(c, a, xy)
-        neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
-        pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
-        inside = ~(neg & pos)  # [N, T]
-        idx = np.argmax(inside, axis=1)
-        found = inside[np.arange(len(xy)), idx]
-        return np.where(found, idx, -1).astype(np.int64)
+    def find_triangles(self, xy: np.ndarray) -> np.ndarray:
+        """2d point-in-triangle lookup: [N, 2] -> [N] triangle index or -1.
+
+        Points are grouped by spatial bin; each bin tests only its few
+        candidate triangles (bounded memory regardless of mesh size)."""
+        xy = np.asarray(xy, np.float64).reshape(-1, 2)
+        n = len(xy)
+        out = np.full(n, -1, np.int64)
+        if n == 0 or self.num_triangles == 0:
+            return out
+        lo, span, nbins, bins = self._triangle_bins()
+        v = self.vertices[:, :2]
+
+        px = np.clip(((xy[:, 0] - lo[0]) / span[0] * nbins).astype(int), 0, nbins - 1)
+        py = np.clip(((xy[:, 1] - lo[1]) / span[1] * nbins).astype(int), 0, nbins - 1)
+        bin_id = px * nbins + py
+        order = np.argsort(bin_id, kind="stable")
+        sorted_bins = bin_id[order]
+        boundaries = np.flatnonzero(np.diff(sorted_bins)) + 1
+        groups = np.split(order, boundaries)
+
+        for grp in groups:
+            if len(grp) == 0:
+                continue
+            key = (int(px[grp[0]]), int(py[grp[0]]))
+            cand = bins.get(key)
+            if cand is None or len(cand) == 0:
+                continue
+            tri = self.triangles[cand]
+            a = v[tri[:, 0]]
+            b = v[tri[:, 1]]
+            c = v[tri[:, 2]]
+            p = xy[grp]
+
+            def cross(o, d):
+                return (d[None, :, 0] - o[None, :, 0]) * (
+                    p[:, None, 1] - o[None, :, 1]
+                ) - (d[None, :, 1] - o[None, :, 1]) * (p[:, None, 0] - o[None, :, 0])
+
+            d1 = cross(a, b)
+            d2 = cross(b, c)
+            d3 = cross(c, a)
+            neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+            pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+            inside = ~(neg & pos)  # [len(grp), len(cand)]
+            idx = np.argmax(inside, axis=1)
+            found = inside[np.arange(len(grp)), idx]
+            out[grp] = np.where(found, cand[idx], -1)
+        return out
 
     def interpolate_z(self, xy: np.ndarray) -> np.ndarray:
         """Barycentric z at 2d points (NaN outside the mesh)."""

@@ -54,7 +54,11 @@ def refine_surfaces(surfaces: List[SurfaceModel]) -> List[SurfaceModel]:
         fake_cams = np.concatenate(
             [v[:, :2], np.full((len(v), 1), v[:, 2].mean() + 10)], axis=1
         )
-        refined = build_grid_mesh(fake_cams, prior_z_points=pts, grid_distance=target)
+        # bound vertex growth: the dense-LM tangent carries every mesh z,
+        # so cap the refined grid well below the reference's file-size cap
+        refined = build_grid_mesh(
+            fake_cams, prior_z_points=pts, grid_distance=target, max_cells=64
+        )
         s2 = SurfaceModel(cloud=s.cloud, mesh=refined if refined is not None else s.mesh)
         out.append(s2)
     return out

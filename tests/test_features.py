@@ -25,7 +25,8 @@ def test_detect_finds_blobs():
     n = int(out["valid"][0].sum())
     assert n > 50
     xy = np.asarray(out["xy"][0][np.asarray(out["valid"][0])])
-    assert xy[:, 0].min() >= 16 and xy[:, 0].max() < 256 - 16
+    # border suppression at 16px, minus up to 0.6px of subpixel refinement
+    assert xy[:, 0].min() >= 15.4 and xy[:, 0].max() < 256 - 15.4
 
 
 def test_detect_is_deterministic():

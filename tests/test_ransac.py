@@ -180,6 +180,17 @@ def test_fundamental_outliers():
     assert prec >= 0.90 and rec >= 0.85
 
 
+def test_fundamental_degenerate_planar_scene():
+    """Near-degenerate scene: 85% of inliers coplanar (reference
+    test_ransac_benchmark.cpp:223-260 recovery assertion). DEGENSAC must
+    still recover a model with reasonable precision/recall."""
+    F, m1, m2, gt = fundamental_scene(200, 40, planar_fraction=0.85, seed=33)
+    res = run_ransac(m1, m2, "fundamental")
+    prec, rec = precision_recall(res.inliers, gt)
+    assert prec >= 0.8, prec
+    assert rec >= 0.6, rec
+
+
 def test_essential_clean():
     F, m1, m2, gt = fundamental_scene(200, 0)
     res = run_ransac(m1, m2, "essential")
