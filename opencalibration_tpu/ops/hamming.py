@@ -87,8 +87,23 @@ def hamming_matrix_popcount(packed1, packed2) -> jnp.ndarray:
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
+def match_descriptors(packed1, packed2, valid1, valid2, ratio: float = LOWE_RATIO):
+    """Dispatches to the fused Pallas kernel when OC_TPU_MATCH_BACKEND=
+    pallas (see ops.hamming_pallas), else the XLA path below."""
+    import os
+
+    if os.environ.get("OC_TPU_MATCH_BACKEND") == "pallas":
+        from opencalibration_tpu.ops.hamming_pallas import match_descriptors_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return match_descriptors_pallas(
+            packed1, packed2, valid1, valid2, ratio, interpret=interpret
+        )
+    return _match_descriptors_xla(packed1, packed2, valid1, valid2, ratio)
+
+
 @functools.partial(jax.jit, static_argnames=("ratio",))
-def match_descriptors(
+def _match_descriptors_xla(
     packed1,
     packed2,
     valid1,
