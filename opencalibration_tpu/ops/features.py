@@ -88,25 +88,101 @@ def _conv3(img, kernel):
     return out[:, 0]
 
 
-def scale_space(images):
-    """[B, H, W] -> (L [S, B, H, W] blurred levels, sigmas [S]).
+def _level_sigmas():
+    return [
+        BASE_SIGMA * (2.0 ** (o + s / SUBLEVELS))
+        for o in range(NUM_OCTAVES)
+        for s in range(SUBLEVELS)
+    ]
+
+
+def _fed_tau_cycle(total_time: float, tau_max: float = 0.24):
+    """Explicit diffusion step sizes covering total_time.
+
+    AKAZE's FED cycles use Chebyshev-like steps exceeding the stability
+    limit (stable only as a composition, and only with careful step
+    reordering in float32 — without it the intermediate states overflow,
+    observed as 1e9 detector responses). We take the conservative route:
+    uniform steps at the 2d explicit stability limit. More steps, but each
+    is one fused 4-neighbour stencil on the VPU — cheap on TPU.
+    """
+    n = max(1, math.ceil(total_time / tau_max))
+    return [total_time / n] * n
+
+
+def _diffusion_step(L, c, tau: float):
+    """One explicit step of div(c grad L) on the 4-neighbour stencil with
+    conductivities averaged onto edges (AKAZE's discretization)."""
+    cN = 0.5 * (c + jnp.roll(c, 1, axis=1))
+    cS = 0.5 * (c + jnp.roll(c, -1, axis=1))
+    cW = 0.5 * (c + jnp.roll(c, 1, axis=2))
+    cE = 0.5 * (c + jnp.roll(c, -1, axis=2))
+    dN = jnp.roll(L, 1, axis=1) - L
+    dS = jnp.roll(L, -1, axis=1) - L
+    dW = jnp.roll(L, 1, axis=2) - L
+    dE = jnp.roll(L, -1, axis=2) - L
+    # zero-flux borders
+    B, H, W = L.shape
+    dN = dN.at[:, 0, :].set(0.0)
+    dS = dS.at[:, H - 1, :].set(0.0)
+    dW = dW.at[:, :, 0].set(0.0)
+    dE = dE.at[:, :, W - 1].set(0.0)
+    return L + tau * (cN * dN + cS * dS + cW * dW + cE * dE)
+
+
+def scale_space(images, diffusion: str = "gaussian"):
+    """[B, H, W] -> (L [S, B, H, W] levels, sigmas [S]).
+
+    diffusion="gaussian": linear scale space (separable convs).
+    diffusion="fed": AKAZE-style nonlinear diffusion — Perona-Malik g2
+    conductivity c = 1 / (1 + |grad L_1|^2 / k^2) evolved between levels
+    with Fast Explicit Diffusion cycles, preserving edges that the
+    detector and MLDB comparisons feed on (the reference's AKAZE scale
+    space, cv::AKAZE in extract_features.cpp:35).
 
     Full-resolution pyramid (no decimation): keeps shapes static and lets
     the detector compare neighboring scales directly.
     """
-    sigmas = []
+    sigmas = _level_sigmas()
     levels = []
-    for o in range(NUM_OCTAVES):
-        for s in range(SUBLEVELS):
-            sigma = BASE_SIGMA * (2.0 ** (o + s / SUBLEVELS))
-            sigmas.append(sigma)
-    prev = images
-    prev_sigma = 0.0
-    for sigma in sigmas:
-        inc = math.sqrt(max(sigma * sigma - prev_sigma * prev_sigma, 1e-6))
-        prev = _blur(prev, inc)
-        prev_sigma = sigma
-        levels.append(prev)
+    if diffusion == "gaussian":
+        prev = images
+        prev_sigma = 0.0
+        for sigma in sigmas:
+            inc = math.sqrt(max(sigma * sigma - prev_sigma * prev_sigma, 1e-6))
+            prev = _blur(prev, inc)
+            prev_sigma = sigma
+            levels.append(prev)
+        return jnp.stack(levels), jnp.asarray(sigmas, images.dtype)
+
+    # nonlinear (FED) scale space
+    L = _blur(images, sigmas[0])
+    # contrast factor k: 70th percentile of gradient magnitude (AKAZE's
+    # KPercentile on the smoothed image)
+    g1 = _blur(images, 1.0)
+    gx = _conv3(g1, _DX)
+    gy = _conv3(g1, _DY)
+    gmag = jnp.sqrt(gx * gx + gy * gy)
+    k = jnp.percentile(gmag.reshape(gmag.shape[0], -1), 70.0, axis=1)
+    k = jnp.maximum(k, 1e-6)[:, None, None]
+
+    levels.append(L)
+    prev_t = 0.5 * sigmas[0] ** 2
+    for sigma in sigmas[1:]:
+        t = 0.5 * sigma**2
+        # conductivity from the current level's smoothed gradients
+        Ls = _blur(L, 1.0)
+        lx = _conv3(Ls, _DX)
+        ly = _conv3(Ls, _DY)
+        c = 1.0 / (1.0 + (lx * lx + ly * ly) / (k * k))
+        taus = _fed_tau_cycle(t - prev_t)
+        # rolled loop: unrolling ~hundreds of stencil steps into one flat
+        # XLA graph segfaults the TPU compiler
+        L = jax.lax.fori_loop(
+            0, len(taus), lambda i, Li: _diffusion_step(Li, c, taus[0]), L
+        )
+        prev_t = t
+        levels.append(L)
     return jnp.stack(levels), jnp.asarray(sigmas, images.dtype)
 
 
@@ -123,8 +199,9 @@ def hessian_response(L, sigmas):
     return jax.vmap(one_level)(L, sigmas)
 
 
-@functools.partial(jax.jit, static_argnames=("max_features",))
-def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHOLD):
+@functools.partial(jax.jit, static_argnames=("max_features", "diffusion"))
+def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHOLD,
+           diffusion: str = "gaussian"):
     """Detect up to max_features keypoints per image.
 
     Returns dict with xy [B,K,2] (x=col, y=row), strength [B,K],
@@ -132,7 +209,7 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     """
     images = images.astype(jnp.float32)
     B, H, W = images.shape
-    L, sigmas = scale_space(images)
+    L, sigmas = scale_space(images, diffusion)
     R = hessian_response(L, sigmas)  # [S, B, H, W]
     S = R.shape[0]
 
@@ -300,8 +377,8 @@ def describe(images, det, patch_scale: float = PATCH_RADIUS_SIGMAS):
     return pack_bits(bits), angle
 
 
-@functools.partial(jax.jit, static_argnames=("max_features",))
-def extract_features(images, max_features: int = 4096):
+@functools.partial(jax.jit, static_argnames=("max_features", "diffusion"))
+def extract_features(images, max_features: int = 4096, diffusion: str = "gaussian"):
     """Full extraction: detect + describe. [B, H, W] float in [0, 1].
 
     Returns dict(xy, strength, sigma, valid, angle, descriptors[uint32]).
@@ -309,7 +386,7 @@ def extract_features(images, max_features: int = 4096):
     a downstream masked selection via ops.spatial.nms_radius +
     top_k_by_strength.
     """
-    det = detect(images, max_features=max_features)
+    det = detect(images, max_features=max_features, diffusion=diffusion)
     desc, angle = describe(images, det)
     return dict(
         xy=det["xy"],

@@ -557,6 +557,161 @@ def build_mesh_problem(
     )
 
 
+def build_points_problem(
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    cam_models: Dict[int, CameraModel],
+    edge_ids: Sequence[int],
+    options: RelaxOptions,
+    grid_fraction: float = 0.05,
+    dtype=jnp.float64,
+) -> Optional[BuiltProblem]:
+    """3d-point bundle adjustment (setup3dPointProblem,
+    reference relax_problem.cpp:122-145 + addPointMeasurementsCost
+    :986-1190): each surviving inlier match becomes one optimizable 3d
+    point with two pixel-reprojection residuals against the FORWARD camera
+    models. The reference solves this with SPARSE_SCHUR; here points live
+    in the dense tangent (grid filtering bounds their count per group —
+    distributed/Schur elimination for the full-survey scale lives in
+    parallel.sharded_ba)."""
+    cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
+    if len(quats) < 2:
+        return None
+    edge_list = _usable_edges(graph, cam_index, edge_ids)
+    if not edge_list:
+        return None
+
+    model_index: Dict[int, int] = {}
+    fwd_list: List[CameraModel] = []
+    for mid, m in sorted(cam_models.items()):
+        model_index[mid] = len(fwd_list)
+        fwd_list.append(m.astype(jnp.float64))
+    if not fwd_list:
+        return None
+    M_count = len(fwd_list)
+    node_model = {nid: graph.get_node(nid).payload.model_id for nid in cam_index}
+    fwd_models = {mid: cam_models[mid].astype(jnp.float64) for mid in cam_models}
+
+    pts_list = []
+    err_list = []
+    obs = dict(cam_i=[], point_i=[], model_i=[], pixel=[])
+
+    for edge_id in edge_list:
+        e = graph.get_edge(edge_id)
+        rel = e.payload
+        n = len(rel.inlier_idx1)
+        if n == 0:
+            continue
+        s_model = fwd_models.get(node_model[e.source])
+        d_model = fwd_models.get(node_model[e.dest])
+        if s_model is None or d_model is None:
+            continue
+        px1 = np.asarray(rel.inlier_pixel1, np.float64)
+        px2 = np.asarray(rel.inlier_pixel2, np.float64)
+        r1, r2 = D.distort_keypoints(jnp.asarray(px1), jnp.asarray(px2), s_model, d_model)
+        q1 = quats[cam_index[e.source]]
+        q2 = quats[cam_index[e.dest]]
+        p1w = positions[cam_index[e.source]]
+        p2w = positions[cam_index[e.dest]]
+        r1w = np.asarray(quat_rotate(jnp.asarray(q1)[None], r1))
+        r2w = np.asarray(quat_rotate(jnp.asarray(q2)[None], r2))
+        dist = (
+            np.asarray(rel.match_distance)[np.asarray(rel.inlier_match_index)]
+            if len(rel.match_distance)
+            else np.zeros(n)
+        )
+        dims1 = (float(s_model.pixels_cols), float(s_model.pixels_rows))
+        dims2 = (float(d_model.pixels_cols), float(d_model.pixels_rows))
+        keep = _grid_filter_edge(
+            px1, px2, r1w, r2w, p1w, p2w, dist,
+            np.asarray(rel.ransac_relation), dims1, dims2, grid_fraction,
+        )
+        if not keep.any():
+            continue
+        k = np.where(keep)[0]
+        mid, err = ray_intersection(
+            jnp.asarray(r1w[k]), jnp.asarray(np.repeat(p1w[None], len(k), 0)),
+            jnp.asarray(r2w[k]), jnp.asarray(np.repeat(p2w[None], len(k), 0)),
+        )
+        mid = np.asarray(mid)
+        err = np.asarray(err)
+        finite = np.isfinite(mid).all(axis=1)
+        for j, ki in zip(np.where(finite)[0], k[finite]):
+            p_idx = len(pts_list)
+            pts_list.append(mid[j])
+            err_list.append(err[j])
+            for nid, px in ((e.source, px1[ki]), (e.dest, px2[ki])):
+                obs["cam_i"].append(cam_index[nid])
+                obs["point_i"].append(p_idx)
+                obs["model_i"].append(model_index[node_model[nid]])
+                obs["pixel"].append(px)
+
+    if not pts_list:
+        return None
+
+    P_count = len(pts_list)
+    layout = TangentLayout(len(quats), 0, P_count, M_count)
+    params = RelaxParams.create(
+        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype),
+        points=jnp.asarray(np.stack(pts_list), dtype),
+        focal=jnp.asarray([float(m.focal_length_pixels) for m in fwd_list], dtype),
+        principal=jnp.asarray(
+            np.stack([np.asarray(m.principal_point) for m in fwd_list]), dtype
+        ),
+        radial=jnp.asarray(
+            np.stack([np.asarray(m.radial_distortion) for m in fwd_list]), dtype
+        ),
+        tangential=jnp.asarray(
+            np.stack([np.asarray(m.tangential_distortion) for m in fwd_list]), dtype
+        ),
+    )
+
+    nb = _bucket(len(obs["cam_i"]), minimum=64)
+    blk = B.pixel_error_block(
+        layout,
+        jnp.asarray(_pad_rows(np.asarray(obs["cam_i"], np.int32), nb), jnp.int32),
+        jnp.asarray(_pad_rows(np.asarray(obs["point_i"], np.int32), nb), jnp.int32),
+        jnp.asarray(_pad_rows(np.asarray(obs["model_i"], np.int32), nb), jnp.int32),
+        jnp.asarray(_pad_rows(np.stack(obs["pixel"]), nb), dtype),
+        jnp.asarray(_pad_rows(np.ones(len(obs["cam_i"])), nb), dtype),
+    )
+    blocks = [blk]
+
+    if options.radial_tier > 0:
+        r_max, obs_w, midx = [], [], []
+        for mid, slot in model_index.items():
+            m = cam_models[mid]
+            half = np.hypot(float(m.pixels_cols), float(m.pixels_rows)) / 2.0
+            r_max.append(half / max(float(m.focal_length_pixels), 1.0))
+            obs_w.append(np.sqrt(P_count / 10.0))
+            midx.append(slot)
+        blocks.append(
+            B.monotonicity_block(
+                layout, jnp.asarray(midx, jnp.int32),
+                jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
+                jnp.ones(len(midx), dtype),
+            )
+        )
+
+    free = layout.build_free_mask(
+        rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
+        points_free=True,
+        focal_free=options.focal,
+        principal_free=options.principal,
+        radial_tiers=options.radial_tier,
+        tangential_free=options.tangential,
+    )
+    surface_free = layout.build_free_mask(
+        rot_free=jnp.zeros(len(quats), bool), points_free=True
+    )
+    return BuiltProblem(
+        params=params, layout=layout, blocks=blocks, free_mask=free,
+        surface_free_mask=surface_free, cam_index=cam_index,
+        model_index=model_index, mesh=None, inverse_models=False,
+        track_points=np.stack(pts_list), track_errors=np.asarray(err_list),
+    )
+
+
 def solve_problem(
     built: BuiltProblem,
     node_poses: Sequence[NodePose],
@@ -584,36 +739,56 @@ def solve_problem(
         if slot is not None:
             np_.orientation = quats[slot]
 
-    if cam_models is not None and built.model_index and built.inverse_models:
+    if cam_models is not None and built.model_index:
         for mid, slot in built.model_index.items():
             if mid not in cam_models:
                 continue
             old = cam_models[mid]
-            inv = CameraModel(
-                focal_length_pixels=params.focal[slot],
-                principal_point=params.principal[slot],
-                radial_distortion=params.radial[slot],
-                tangential_distortion=params.tangential[slot],
-                pixels_cols=old.pixels_cols,
-                pixels_rows=old.pixels_rows,
-                tag=INVERSE,
-            )
-            changed = not np.allclose(
-                np.asarray(inv.radial_distortion),
-                -np.asarray(old.radial_distortion),
-                atol=1e-12,
-            ) or not np.isclose(
-                float(inv.focal_length_pixels), float(old.focal_length_pixels)
-            )
-            if changed:
-                cam_models[mid] = D.convert_to_forward(inv).astype(old.dtype)
+            if built.inverse_models:
+                inv = CameraModel(
+                    focal_length_pixels=params.focal[slot],
+                    principal_point=params.principal[slot],
+                    radial_distortion=params.radial[slot],
+                    tangential_distortion=params.tangential[slot],
+                    pixels_cols=old.pixels_cols,
+                    pixels_rows=old.pixels_rows,
+                    tag=INVERSE,
+                )
+                changed = not np.allclose(
+                    np.asarray(inv.radial_distortion),
+                    -np.asarray(old.radial_distortion),
+                    atol=1e-12,
+                ) or not np.isclose(
+                    float(inv.focal_length_pixels), float(old.focal_length_pixels)
+                )
+                if changed:
+                    cam_models[mid] = D.convert_to_forward(inv).astype(old.dtype)
+            else:
+                # points problems optimize the forward models directly
+                cam_models[mid] = old.replace(
+                    focal_length_pixels=jnp.asarray(
+                        params.focal[slot], old.dtype
+                    ),
+                    principal_point=jnp.asarray(params.principal[slot], old.dtype),
+                    radial_distortion=jnp.asarray(params.radial[slot], old.dtype),
+                    tangential_distortion=jnp.asarray(
+                        params.tangential[slot], old.dtype
+                    ),
+                )
 
     surface = SurfaceModel()
     if built.mesh is not None:
         mesh = built.mesh.copy()
         mesh.vertices[:, 2] = np.asarray(params.mesh_z)
         surface.mesh = mesh
-    good = np.isfinite(built.track_errors) & (np.abs(built.track_errors) < 1.0)
-    if good.any():
-        surface.cloud.append(built.track_points[good])
+    if built.params.P > 0 and not built.inverse_models:
+        # optimized 3d points are the cloud (points problem)
+        pts = np.asarray(params.points)
+        good = np.isfinite(pts).all(axis=1)
+        if good.any():
+            surface.cloud.append(pts[good])
+    else:
+        good = np.isfinite(built.track_errors) & (np.abs(built.track_errors) < 1.0)
+        if good.any():
+            surface.cloud.append(built.track_points[good])
     return surface

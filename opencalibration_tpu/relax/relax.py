@@ -10,6 +10,7 @@ from opencalibration_tpu.relax.problem_builder import (
     RelaxOptions,
     build_decomposition_problem,
     build_mesh_problem,
+    build_points_problem,
     solve_problem,
 )
 from opencalibration_tpu.types.camera import CameraModel
@@ -29,10 +30,19 @@ def relax(
     nadir (the reference's incremental one-at-a-time bootstrap,
     relax.cpp:44-79, collapses to fill-then-solve here: GPS-pinned
     positions + the downwards prior give the same basin)."""
-    if options.ground_mesh or options.ground_plane or options.points_3d:
+    if options.ground_mesh or options.ground_plane:
         built = build_mesh_problem(
             graph, node_poses, cam_models, edge_ids, options,
             previous_surfaces, grid_fraction,
+        )
+        if built is None:
+            return SurfaceModel()
+        return solve_problem(
+            built, node_poses, cam_models, pre_solve_surface=True
+        )
+    if options.points_3d:
+        built = build_points_problem(
+            graph, node_poses, cam_models, edge_ids, options
         )
         if built is None:
             return SurfaceModel()

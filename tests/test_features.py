@@ -78,3 +78,33 @@ def test_descriptor_rotation_tolerance():
     expected = np.stack([xy1[:, 1], 320 - 1 - xy1[:, 0]], axis=1)
     good = (np.abs(xy2 - expected) < 3).all(axis=1)
     assert good.mean() > 0.5, f"only {good.mean():.2f} spatially consistent"
+
+
+def test_fed_nonlinear_scale_space():
+    """FED diffusion: matches still work, and edges survive diffusion
+    better than under equivalent Gaussian blur."""
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops import features as F
+    from opencalibration_tpu.ops import hamming as H
+
+    img = textured_image(256, 256, seed=9)
+    img2 = np.roll(img, (16, 16), axis=(0, 1))
+    batch = jnp.asarray(np.stack([img, img2]))
+    feats = F.extract_features(batch, max_features=512, diffusion="fed")
+    idx2, dist, matched = H.match_descriptors(
+        feats["descriptors"][0], feats["descriptors"][1],
+        feats["valid"][0], feats["valid"][1],
+    )
+    assert int(np.asarray(matched).sum()) > 30
+
+    # edge preservation: a step edge keeps a sharper profile at a deep
+    # scale level under FED than under Gaussian
+    step = np.zeros((96, 96), np.float32)
+    step[:, 48:] = 1.0
+    L_g, s_g = F.scale_space(jnp.asarray(step)[None], "gaussian")
+    L_f, s_f = F.scale_space(jnp.asarray(step)[None], "fed")
+    lvl = 8
+    mid_grad_g = float(np.abs(np.diff(np.asarray(L_g[lvl, 0, 48]))).max())
+    mid_grad_f = float(np.abs(np.diff(np.asarray(L_f[lvl, 0, 48]))).max())
+    assert mid_grad_f > mid_grad_g * 1.5, (mid_grad_f, mid_grad_g)
