@@ -404,6 +404,10 @@ class OrthoJob:
         self.ok = False
         self.correspondences: List[ColorCorrespondence] = []
         self.balance = None
+        # optional per-tile progress hook: called with dict(tile_x, tile_y,
+        # num_tiles_x, num_tiles_y, fraction_done, png_base64) during the
+        # blend pass (reference TileUpdate, progress.hpp:15-34)
+        self.tile_callback = None
         self._setup(surfaces, graph, model_store, geocoord, max_megapixels,
                     tile_size, cache_images, blend_levels)
 
@@ -609,10 +613,27 @@ class OrthoJob:
         if not self.ok:
             return False
         out = np.zeros((self._height, self._width, 4), np.uint8)
-        for tx, ty in self._order:
+        for k, (tx, ty) in enumerate(self._order):
             rgba, _ = self._render_tile(tx, ty, corrections=self.balance)
             x0, y0 = tx * self.tile_size, ty * self.tile_size
             out[y0 : y0 + rgba.shape[0], x0 : x0 + rgba.shape[1]] = rgba
+            if self.tile_callback is not None:
+                import base64
+
+                import cv2
+
+                small = cv2.resize(rgba, (64, 64), interpolation=cv2.INTER_AREA)
+                ok_png, buf = cv2.imencode(".png", small)
+                self.tile_callback(
+                    dict(
+                        tile_x=tx, tile_y=ty,
+                        num_tiles_x=(self._width + self.tile_size - 1) // self.tile_size,
+                        num_tiles_y=(self._height + self.tile_size - 1) // self.tile_size,
+                        fraction_done=(k + 1) / max(len(self._order), 1),
+                        png_base64=base64.b64encode(buf.tobytes()).decode("ascii")
+                        if ok_png else None,
+                    )
+                )
 
         from opencalibration_tpu.io.geotiff import write_geotiff
 

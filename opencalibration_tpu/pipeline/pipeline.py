@@ -88,6 +88,9 @@ class StepCompletionInfo:
     global_progress: float
     local_progress: float
     surfaces_updated: bool = False
+    # live tile preview during ortho generation
+    # (reference pipeline/progress.hpp:15-34 TileUpdate)
+    tile_update: Optional[dict] = None
 
 
 class Pipeline:
@@ -187,7 +190,8 @@ class Pipeline:
         return self._state
 
     # --- progress ---------------------------------------------------------
-    def _emit(self, loaded, linked, relaxed, activity, local=1.0, surfaces_updated=False):
+    def _emit(self, loaded, linked, relaxed, activity, local=1.0,
+              surfaces_updated=False, tile_update=None):
         if self.step_callback is None:
             return
         order = PipelineState.ORDER
@@ -206,6 +210,7 @@ class Pipeline:
                 global_progress=(done + current) / total,
                 local_progress=local,
                 surfaces_updated=surfaces_updated,
+                tile_update=tile_update,
             )
         )
 
@@ -381,6 +386,13 @@ class Pipeline:
             out_path = self.ortho_path or (
                 (self.textured_obj_prefix or "ortho") + "_texture.tif"
             )
+
+            def on_tile(info):
+                self._emit([], [], [], "blend tile",
+                           local=info.get("fraction_done", 0.0),
+                           tile_update=info)
+
+            self._ortho_job.tile_callback = on_tile
             self._ortho_job.pass_blend(out_path)
             if self.textured_obj_prefix:
                 from opencalibration_tpu.io.geotiff import read_geotiff

@@ -244,3 +244,23 @@ def test_textured_obj(calibrated_pipeline, tmp_path):
 
     assert os.path.getsize(prefix + ".jpg") > 0
     assert os.path.getsize(prefix + ".mtl") > 0
+
+
+def test_blend_tile_updates(calibrated_pipeline, tmp_path):
+    """TileUpdate progress payloads stream during the blend pass
+    (reference progress.hpp:15-34)."""
+    from opencalibration_tpu.ortho.ortho import OrthoJob
+
+    p = calibrated_pipeline
+    job = OrthoJob(
+        p.surfaces, p.graph, p.model_store, p.geocoord, max_megapixels=0.25
+    )
+    assert job.ok
+    updates = []
+    job.tile_callback = updates.append
+    job.pass_layers()
+    job.solve_balance()
+    assert job.pass_blend(str(tmp_path / "o.tif"))
+    assert updates
+    assert updates[-1]["fraction_done"] == 1.0
+    assert updates[0]["png_base64"]
