@@ -230,7 +230,13 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     score = jnp.where(is_peak & interior[None, None], Rb, -jnp.inf)
 
     flat = score.reshape(B, S * H * W)
-    vals, idx = jax.lax.top_k(flat, max_features)  # [B, K]
+    if jax.default_backend() == "tpu":
+        # exact top_k sorts the full 1M+ response vector per image and
+        # dominates extraction time; the TPU's approx_max_k hardware path
+        # is ~10x faster and NMS already de-duplicates candidates
+        vals, idx = jax.lax.approx_max_k(flat, max_features, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(flat, max_features)  # [B, K]
     lvl = (idx // (H * W)).astype(jnp.int32)
     rem = idx % (H * W)
     yi = (rem // W).astype(jnp.int32)

@@ -190,14 +190,15 @@ def _subsample_for_link(feats, model: CameraModel):
     return sel.astype(np.int32), valid
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _match_and_ransac_pair(
+def _match_and_ransac_one(
     desc1, xy1, valid1, desc2, xy2, valid2, model1, model2, num_hypotheses=2048
 ):
     """One candidate edge's device work (the body of the reference's link
     runner, link_stage.cpp:75-112): match -> undistort -> RANSAC
     homography -> decompose."""
-    idx2, dist, matched = H.match_descriptors(desc1, desc2, valid1, valid2)
+    from opencalibration_tpu.ops.hamming import _match_descriptors_xla
+
+    idx2, dist, matched = _match_descriptors_xla(desc1, desc2, valid1, valid2)
     mp2 = xy2[idx2]
     r1, r2 = D.distort_keypoints(xy1, mp2, model1, model2)
     res, quats, ts, scores = R.ransac_homography_with_poses(
@@ -208,6 +209,21 @@ def _match_and_ransac_pair(
         model=res.model, inliers=res.inliers, score=res.score,
         quats=quats, ts=ts, pose_scores=scores,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _match_and_ransac_batch(
+    desc1, xy1, valid1, desc2, xy2, valid2, models1, models2, num_hypotheses=2048
+):
+    """Vmapped link work over a whole chunk of candidate pairs — one
+    device dispatch instead of one per edge (the reference runs one OMP
+    closure per pair; on TPU the batch IS the parallelism)."""
+    return jax.vmap(
+        functools.partial(_match_and_ransac_one, num_hypotheses=num_hypotheses)
+    )(desc1, xy1, valid1, desc2, xy2, valid2, models1, models2)
+
+
+LINK_CHUNK = 16  # pairs per device dispatch (padded to bucket)
 
 
 class LinkStage:
@@ -253,6 +269,8 @@ class LinkStage:
                 self._candidates.append((nid, other))
 
     def run(self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]):
+        # gather host-side per-pair arrays, then dispatch vmapped chunks
+        prepared = []
         for source, dest in self._candidates:
             ns, nd = graph.get_node(source), graph.get_node(dest)
             if ns is None or nd is None or ns.payload.features is None or nd.payload.features is None:
@@ -262,16 +280,39 @@ class LinkStage:
             sel1, v1 = _subsample_for_link(ns.payload.features, ms)
             sel2, v2 = _subsample_for_link(nd.payload.features, md)
             f1, f2 = ns.payload.features, nd.payload.features
-            out = _match_and_ransac_pair(
-                jnp.asarray(f1.descriptors[sel1]),
-                jnp.asarray(f1.xy[sel1], jnp.float32),
-                jnp.asarray(v1),
-                jnp.asarray(f2.descriptors[sel2]),
-                jnp.asarray(f2.xy[sel2], jnp.float32),
-                jnp.asarray(v2),
-                ms, md,
+            prepared.append(
+                (
+                    source, dest, sel1, sel2,
+                    f1.descriptors[sel1], f1.xy[sel1].astype(np.float32), v1,
+                    f2.descriptors[sel2], f2.xy[sel2].astype(np.float32), v2,
+                    ms, md,
+                )
             )
-            self._results.append((source, dest, sel1, sel2, jax.tree.map(np.asarray, out)))
+
+        for c0 in range(0, len(prepared), LINK_CHUNK):
+            chunk = prepared[c0 : c0 + LINK_CHUNK]
+            n = len(chunk)
+            pad = LINK_CHUNK - n  # fixed chunk shape keeps the jit cache hot
+            chunk_p = chunk + [chunk[-1]] * pad
+            out = _match_and_ransac_batch(
+                jnp.asarray(np.stack([c[4] for c in chunk_p])),
+                jnp.asarray(np.stack([c[5] for c in chunk_p])),
+                jnp.asarray(np.stack([c[6] for c in chunk_p])),
+                jnp.asarray(np.stack([c[7] for c in chunk_p])),
+                jnp.asarray(np.stack([c[8] for c in chunk_p])),
+                jnp.asarray(np.stack([c[9] for c in chunk_p])),
+                stack_cameras([c[10] for c in chunk_p]),
+                stack_cameras([c[11] for c in chunk_p]),
+            )
+            out_np = jax.tree.map(np.asarray, out)
+            for i in range(n):
+                source, dest, sel1, sel2 = chunk[i][:4]
+                self._results.append(
+                    (
+                        source, dest, sel1, sel2,
+                        {k: v[i] for k, v in out_np.items()},
+                    )
+                )
 
     def finalize(self, graph: MeasurementGraph) -> List[int]:
         """Deterministic sorted edge insertion (link_stage.cpp:119-143)."""
