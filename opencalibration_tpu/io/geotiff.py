@@ -111,6 +111,18 @@ def _geo_keys(wkt: Optional[str]):
     return flat, ascii_params
 
 
+def _average_downsample(image: np.ndarray) -> np.ndarray:
+    """2x AVERAGE overview (the resampling the reference requests from
+    GDAL, ortho.cpp BuildOverviews 'AVERAGE')."""
+    H, W, C = image.shape
+    h2, w2 = H // 2 * 2, W // 2 * 2
+    img = image[:h2, :w2].astype(np.float64)
+    down = 0.25 * (
+        img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]
+    )
+    return down.astype(image.dtype)
+
+
 def write_geotiff(
     path: str,
     image: np.ndarray,
@@ -119,16 +131,30 @@ def write_geotiff(
     wkt: Optional[str] = None,
     nodata: Optional[float] = None,
     compress: bool = True,
+    overviews: int = 0,
 ):
     """Write [H, W] float32 or [H, W, C] uint8 raster.
 
     origin_xy: world (x, y) of the TOP-LEFT corner of pixel (0, 0);
     pixel_size: (sx, sy) with sy > 0 (north-up rasters store y flipped,
     i.e. world_y = origin_y - row * sy), matching GDAL conventions.
+    overviews: number of 2x AVERAGE reduced-resolution IFDs to append
+    (GDAL-style internal overviews; readers see them as subfile IFDs).
     """
     image = np.asarray(image)
     if image.ndim == 2:
         image = image[:, :, None]
+    if overviews > 0:
+        # write the base IFD + chained overview IFDs
+        levels = [image]
+        for _ in range(overviews):
+            if min(levels[-1].shape[0], levels[-1].shape[1]) < 2:
+                break
+            levels.append(_average_downsample(levels[-1]))
+        _write_multi_ifd(
+            path, levels, origin_xy, pixel_size, wkt, nodata, compress
+        )
+        return
     H, W, C = image.shape
     is_float = image.dtype.kind == "f"
     if is_float:
@@ -199,6 +225,129 @@ def write_geotiff(
                 p += 1
         f.write(ifd_bytes)
         f.write(out_of_line)
+
+
+def _prepare_level(image, origin_xy, pixel_size, wkt, nodata, compress, is_overview):
+    """Strips + IFD entries (without strip tables) for one resolution level."""
+    H, W, C = image.shape
+    is_float = image.dtype.kind == "f"
+    img = image.astype("<f4") if is_float else image.astype(np.uint8)
+    bits = [32] * C if is_float else [8] * C
+    sample_format = [3] * C if is_float else [1] * C
+
+    rows_per_strip = max(1, min(H, (1 << 20) // max(1, W * C * (4 if is_float else 1))))
+    strips = []
+    for r0 in range(0, H, rows_per_strip):
+        raw = img[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    ifd = _IFD()
+    if is_overview:
+        ifd.add(254, TYPE_LONG, 1)  # NewSubfileType = reduced-resolution
+    ifd.add(T_IMAGE_WIDTH, TYPE_LONG, W)
+    ifd.add(T_IMAGE_LENGTH, TYPE_LONG, H)
+    ifd.add(T_BITS_PER_SAMPLE, TYPE_SHORT, bits)
+    ifd.add(T_COMPRESSION, TYPE_SHORT, 8 if compress else 1)
+    ifd.add(T_PHOTOMETRIC, TYPE_SHORT, 2 if (C >= 3 and not is_float) else 1)
+    ifd.add(T_SAMPLES_PER_PIXEL, TYPE_SHORT, C)
+    ifd.add(T_ROWS_PER_STRIP, TYPE_LONG, rows_per_strip)
+    ifd.add(T_PLANAR_CONFIG, TYPE_SHORT, 1)
+    ifd.add(T_SAMPLE_FORMAT, TYPE_SHORT, sample_format)
+    if C == 4 and not is_float:
+        ifd.add(T_EXTRA_SAMPLES, TYPE_SHORT, [2])
+    if not is_overview:
+        ifd.add(T_MODEL_PIXEL_SCALE, TYPE_DOUBLE, [pixel_size[0], pixel_size[1], 0.0])
+        ifd.add(
+            T_MODEL_TIEPOINT, TYPE_DOUBLE,
+            [0.0, 0.0, 0.0, origin_xy[0], origin_xy[1], 0.0],
+        )
+        geo_dir, ascii_params = _geo_keys(wkt)
+        ifd.add(T_GEO_KEY_DIRECTORY, TYPE_SHORT, geo_dir)
+        ifd.add(T_GEO_ASCII_PARAMS, TYPE_ASCII, ascii_params)
+        if nodata is not None:
+            ifd.add(T_GDAL_NODATA, TYPE_ASCII, repr(float(nodata)))
+    return strips, ifd
+
+
+def _write_multi_ifd(path, levels, origin_xy, pixel_size, wkt, nodata, compress):
+    """Chain of IFDs: full-resolution first, then overview subfiles."""
+    prepared = [
+        _prepare_level(
+            lvl, origin_xy, pixel_size, wkt, nodata, compress, is_overview=i > 0
+        )
+        for i, lvl in enumerate(levels)
+    ]
+    # data layout: header | all strips | per-level (ifd + out-of-line)
+    pos = 8
+    strip_offsets_all = []
+    for strips, _ in prepared:
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+            if pos % 2:
+                pos += 1
+        strip_offsets_all.append(offs)
+    for i, ((strips, ifd), offs) in enumerate(zip(prepared, strip_offsets_all)):
+        ifd.add(T_STRIP_OFFSETS, TYPE_LONG, offs)
+        ifd.add(T_STRIP_BYTE_COUNTS, TYPE_LONG, [len(s) for s in strips])
+
+    # serialize IFDs sequentially, patching next-IFD pointers
+    ifd_blobs = []
+    ifd_offsets = []
+    for strips, ifd in prepared:
+        ifd_offsets.append(pos)
+        n_entries = len(ifd.entries)
+        ifd_size = 2 + n_entries * 12 + 4
+        ifd_bytes, out_of_line = ifd.serialize(pos + ifd_size)
+        blob = ifd_bytes + out_of_line
+        if len(blob) % 2:
+            blob += b"\x00"
+        ifd_blobs.append(blob)
+        pos += len(blob)
+    # patch next pointers (last 4 bytes of the entry table region)
+    patched = []
+    for i, blob in enumerate(ifd_blobs):
+        n_entries = struct.unpack_from("<H", blob, 0)[0]
+        next_off = ifd_offsets[i + 1] if i + 1 < len(ifd_blobs) else 0
+        head = 2 + n_entries * 12
+        blob = blob[:head] + struct.pack("<I", next_off) + blob[head + 4 :]
+        patched.append(blob)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_offsets[0]))
+        p = 8
+        for strips, _ in prepared:
+            for s in strips:
+                f.write(s)
+                p += len(s)
+                if p % 2:
+                    f.write(b"\x00")
+                    p += 1
+        for blob in patched:
+            f.write(blob)
+
+
+def read_geotiff_overviews(path: str):
+    """Count + shapes of reduced-resolution IFDs chained after the base."""
+    with open(path, "rb") as f:
+        data = f.read()
+    _, _, ifd_off = struct.unpack_from("<2sHI", data, 0)
+    shapes = []
+    # skip base IFD, then walk the chain
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", data, ifd_off)
+        w = h = None
+        for i in range(n):
+            tag, ttype, count = struct.unpack_from("<HHI", data, ifd_off + 2 + i * 12)
+            voff = ifd_off + 2 + i * 12 + 8
+            if tag == T_IMAGE_WIDTH:
+                w = struct.unpack_from("<I" if ttype == TYPE_LONG else "<H", data, voff)[0]
+            if tag == T_IMAGE_LENGTH:
+                h = struct.unpack_from("<I" if ttype == TYPE_LONG else "<H", data, voff)[0]
+        shapes.append((h, w))
+        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + n * 12)
+    return shapes
 
 
 def read_geotiff(path: str):

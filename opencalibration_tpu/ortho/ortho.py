@@ -375,7 +375,7 @@ def generate_dsm_geotiff(
     from opencalibration_tpu.io.geotiff import write_geotiff
 
     wkt = geocoord.get_wkt() if geocoord is not None and geocoord.is_initialized() else None
-    write_geotiff(path, dsm, (b.min_x, b.max_y), (gsd, gsd), wkt=wkt, nodata=nodata)
+    write_geotiff(path, dsm, (b.min_x, b.max_y), (gsd, gsd), wkt=wkt, nodata=nodata, overviews=3)
     return True
 
 
@@ -643,7 +643,7 @@ class OrthoJob:
             if self.geocoord is not None and self.geocoord.is_initialized()
             else None
         )
-        write_geotiff(path, out, (b.min_x, b.max_y), (self._gsd, self._gsd), wkt=wkt)
+        write_geotiff(path, out, (b.min_x, b.max_y), (self._gsd, self._gsd), wkt=wkt, overviews=3)
         return True
 
 

@@ -264,3 +264,29 @@ def test_blend_tile_updates(calibrated_pipeline, tmp_path):
     assert updates
     assert updates[-1]["fraction_done"] == 1.0
     assert updates[0]["png_base64"]
+
+
+def test_geotiff_overviews(tmp_path):
+    """Internal AVERAGE overviews as chained reduced-resolution IFDs
+    (the reference requests GDAL AVERAGE overviews on its rasters)."""
+    import cv2
+
+    from opencalibration_tpu.io.geotiff import (
+        read_geotiff,
+        read_geotiff_overviews,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (128, 96, 3), dtype=np.uint8)
+    path = str(tmp_path / "ov.tif")
+    write_geotiff(path, img, (10.0, 20.0), (0.5, 0.5), overviews=2)
+
+    shapes = read_geotiff_overviews(path)
+    assert shapes == [(128, 96), (64, 48), (32, 24)]
+    # base image + georeferencing still read back exactly
+    back, origin, px, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back, img)
+    assert origin == (10.0, 20.0)
+    # an independent reader still opens it
+    assert cv2.imread(path, cv2.IMREAD_UNCHANGED) is not None
