@@ -241,7 +241,10 @@ def make_sharded_lm_step(mesh: Mesh, block_template, free, layout, lam=1e-7):
         new_params = jax.vmap(layout.retract)(params_shard, delta)
         return new_params, delta
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def step(params, pixels):
         return shard_map(
@@ -249,7 +252,6 @@ def make_sharded_lm_step(mesh: Mesh, block_template, free, layout, lam=1e-7):
             mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P("groups"), params), P("groups")),
             out_specs=(jax.tree.map(lambda _: P("groups"), params), P("groups")),
-            check_rep=False,
         )(params, pixels)
 
     return jax.jit(step)
