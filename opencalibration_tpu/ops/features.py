@@ -199,55 +199,46 @@ def hessian_response(L, sigmas):
     return jax.vmap(one_level)(L, sigmas)
 
 
-@functools.partial(jax.jit, static_argnames=("max_features", "diffusion"))
-def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHOLD,
-           diffusion: str = "gaussian"):
-    """Detect up to max_features keypoints per image.
+def _topk_scores(flat, k):
+    if jax.default_backend() == "tpu":
+        # exact top_k sorts the full response vector per image and dominates
+        # extraction time; the TPU's approx_max_k hardware path is ~10x
+        # faster and NMS already de-duplicates candidates
+        return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    return jax.lax.top_k(flat, k)
 
-    Returns dict with xy [B,K,2] (x=col, y=row), strength [B,K],
-    level [B,K] int32, sigma [B,K], valid [B,K].
+
+def _candidates_from_levels(Rb, threshold, border, k, step):
+    """NMS + top-k + subpixel over one stack of same-resolution levels.
+
+    Rb: [B, S, H, W] normalized responses on (possibly decimated) grid;
+    step: grid spacing in original pixels. Returns per-image candidate
+    arrays (xy in ORIGINAL pixels, strength, level-in-stack, valid).
     """
-    images = images.astype(jnp.float32)
-    B, H, W = images.shape
-    L, sigmas = scale_space(images, diffusion)
-    R = hessian_response(L, sigmas)  # [S, B, H, W]
-    S = R.shape[0]
-
-    # 3x3x3 NMS across (scale, y, x)
-    Rb = jnp.transpose(R, (1, 0, 2, 3))  # [B, S, H, W]
+    B, S, H, W = Rb.shape
     m = jax.lax.reduce_window(
         Rb, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
     )
     is_peak = (Rb >= m) & (Rb > threshold)
-    # suppress border responses (descriptor sampling window)
     yy = jnp.arange(H)
     xx = jnp.arange(W)
-    border = 16
     interior = (
         (yy[:, None] >= border) & (yy[:, None] < H - border)
         & (xx[None, :] >= border) & (xx[None, :] < W - border)
     )
     score = jnp.where(is_peak & interior[None, None], Rb, -jnp.inf)
-
-    flat = score.reshape(B, S * H * W)
-    if jax.default_backend() == "tpu":
-        # exact top_k sorts the full 1M+ response vector per image and
-        # dominates extraction time; the TPU's approx_max_k hardware path
-        # is ~10x faster and NMS already de-duplicates candidates
-        vals, idx = jax.lax.approx_max_k(flat, max_features, recall_target=0.95)
-    else:
-        vals, idx = jax.lax.top_k(flat, max_features)  # [B, K]
+    k = min(k, S * H * W)
+    vals, idx = _topk_scores(score.reshape(B, S * H * W), k)
     lvl = (idx // (H * W)).astype(jnp.int32)
     rem = idx % (H * W)
     yi = (rem // W).astype(jnp.int32)
     xi = (rem % W).astype(jnp.int32)
     valid = jnp.isfinite(vals) & (vals > threshold)
 
-    # subpixel refinement: 2d quadratic fit on the 3x3 response
-    # neighborhood at the keypoint's level (AKAZE does the equivalent
-    # 3-var fit; integer-grid keypoints cost ~0.3px RMS measurement noise
-    # which propagates straight into BA pose error)
-    bi = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(max_features, 1)
+    # subpixel: 2d quadratic fit on the 3x3 neighborhood (AKAZE-equivalent;
+    # integer-grid keypoints cost ~0.3px RMS measurement noise straight in
+    # BA pose error)
+    bi = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(k, 1)
     yc = jnp.clip(yi, 1, H - 2)
     xc = jnp.clip(xi, 1, W - 2)
 
@@ -264,15 +255,97 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     ox = -(dyy * dx - dxy * dy) / det_safe
     oy = -(dxx * dy - dxy * dx) / det_safe
     ok = (jnp.abs(det) >= 1e-18) & (jnp.abs(ox) <= 0.6) & (jnp.abs(oy) <= 0.6)
-    x = xc.astype(jnp.float32) + jnp.where(ok, ox, 0.0).astype(jnp.float32)
-    y = yc.astype(jnp.float32) + jnp.where(ok, oy, 0.0).astype(jnp.float32)
+    x = (xc.astype(jnp.float32) + jnp.where(ok, ox, 0.0)) * step
+    y = (yc.astype(jnp.float32) + jnp.where(ok, oy, 0.0)) * step
+    return jnp.stack([x, y], axis=-1), vals, lvl, valid
 
+
+@functools.partial(jax.jit, static_argnames=("max_features", "diffusion"))
+def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHOLD,
+           diffusion: str = "gaussian"):
+    """Detect up to max_features keypoints per image.
+
+    The default Gaussian path uses a DECIMATED octave pyramid: each octave
+    runs at half the previous resolution, so blur kernels stay small
+    (sigma_rel in [1.6, 3.2)) and per-octave work shrinks 4x — the same
+    economy AKAZE's octave structure buys the reference. Responses are
+    normalized with sigma_rel^4 on the decimated grid, which equals the
+    absolute sigma^4-normalized response on the original grid, so
+    thresholds and strengths are comparable across octaves.
+
+    diffusion="fed" keeps the full-resolution nonlinear scale space.
+
+    Returns dict with xy [B,K,2] (x=col, y=row, original pixels),
+    strength [B,K], level [B,K] int32, sigma [B,K], valid [B,K].
+    """
+    images = images.astype(jnp.float32)
+    B, H, W = images.shape
+
+    if diffusion != "gaussian":
+        # full-resolution nonlinear path
+        L, sigmas = scale_space(images, diffusion)
+        R = hessian_response(L, sigmas)
+        Rb = jnp.transpose(R, (1, 0, 2, 3))
+        xy, vals, lvl, valid = _candidates_from_levels(
+            Rb, threshold, 16, max_features, 1.0
+        )
+        return dict(
+            xy=xy, strength=jnp.where(valid, vals, 0.0), level=lvl,
+            sigma=sigmas[lvl], valid=valid,
+        )
+
+    # ---- decimated octave pyramid ----
+    all_xy, all_vals, all_sig, all_valid = [], [], [], []
+    base = _blur(images, BASE_SIGMA)
+    for o in range(NUM_OCTAVES):
+        step = float(2**o)
+        Ho, Wo = base.shape[1], base.shape[2]
+        if min(Ho, Wo) < 8:
+            break
+        levels = []
+        rels = []
+        cur = base
+        cur_rel = BASE_SIGMA
+        for s in range(SUBLEVELS):
+            rel = BASE_SIGMA * (2.0 ** (s / SUBLEVELS))
+            if rel > cur_rel:
+                cur = _blur(cur, math.sqrt(rel * rel - cur_rel * cur_rel))
+                cur_rel = rel
+            levels.append(cur)
+            rels.append(rel)
+        Lo = jnp.stack(levels)  # [S, B, Ho, Wo]
+        # normalize with sigma_rel^4 on the decimated grid == absolute
+        # sigma^4-normalized response on the original grid
+        Ro = hessian_response(Lo, jnp.asarray(rels, jnp.float32))
+        Rb = jnp.transpose(Ro, (1, 0, 2, 3))
+        border = max(2, int(round(16 / step)))
+        k_oct = max(128, max_features // (2**o))
+        xy, vals, lvl, valid = _candidates_from_levels(
+            Rb, threshold, border, k_oct, step
+        )
+        sig = jnp.asarray(rels, jnp.float32)[lvl] * step  # absolute sigma
+        all_xy.append(xy)
+        all_vals.append(vals)
+        all_sig.append(sig)
+        all_valid.append(valid)
+        # next octave base: blur to 2*BASE then decimate
+        nxt = _blur(cur, math.sqrt((2 * BASE_SIGMA) ** 2 - cur_rel**2))
+        base = nxt[:, ::2, ::2]
+
+    xy = jnp.concatenate(all_xy, axis=1)
+    vals = jnp.concatenate(all_vals, axis=1)
+    sig = jnp.concatenate(all_sig, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+    score = jnp.where(valid, vals, -jnp.inf)
+    top_vals, top_idx = jax.lax.top_k(score, min(max_features, score.shape[1]))
+    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+    xy = jnp.take_along_axis(xy, top_idx[..., None].repeat(2, -1), axis=1)
     return dict(
-        xy=jnp.stack([x, y], axis=-1),
-        strength=jnp.where(valid, vals, 0.0),
-        level=lvl,
-        sigma=sigmas[lvl],
-        valid=valid,
+        xy=xy,
+        strength=jnp.where(jnp.isfinite(top_vals), top_vals, 0.0),
+        level=jnp.zeros_like(top_idx, jnp.int32),
+        sigma=take(sig),
+        valid=jnp.isfinite(top_vals) & (top_vals > threshold),
     )
 
 
