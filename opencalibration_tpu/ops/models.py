@@ -48,6 +48,45 @@ def hnormalize(rays):
 # ---------------------------------------------------------------------------
 
 
+def inv3(A):
+    """Closed-form adjugate inverse of [..., 3, 3] matrices.
+
+    TPU's batched LU (`jnp.linalg.inv` / `solve`) serializes pivot steps
+    and costs ~100x more than this on tiny matrices (measured: 86k 9x9 LU
+    solves = 415 ms on v5e, the entire RANSAC fit budget). Exact algebra,
+    no approximation; singular inputs yield inf/nan, which downstream
+    scoring already maps to _BIG via isfinite guards.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c21 = f * g - d * i
+    c31 = d * h - e * g
+    det = a * c11 + b * c21 + c * c31
+    rows = jnp.stack(
+        [
+            jnp.stack([c11, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([c21, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([c31, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows / det[..., None, None]
+
+
+def _canonical_transform(p):
+    """[4, 2] points -> [3, 3] projective map taking the canonical basis
+    (e1, e2, e3, [1,1,1]) to the 4 points: T = [l1*p1 | l2*p2 | l3*p3]
+    with l = inv([p1 p2 p3]) p4 (the textbook fractional-linear
+    construction)."""
+    o = jnp.ones_like(p[..., :1])
+    ph = jnp.concatenate([p, o], axis=-1)  # [4, 3]
+    M = jnp.swapaxes(ph[..., :3, :], -1, -2)  # columns p1, p2, p3
+    lam = inv3(M) @ ph[..., 3, :, None]  # [3, 1]
+    return M * lam[..., 0][..., None, :]
+
+
 def _homography_rows(p1, p2):
     """DLT rows for x2 ~ H x1 with h33 = 1 (reference homography_model.cpp:33-34).
 
@@ -63,14 +102,13 @@ def _homography_rows(p1, p2):
 
 
 def homography_fit(p1, p2):
-    """Minimal 4-point DLT with h33=1 constraint row, solved as a 9x9 system
-    exactly like reference homography_model.cpp:19-50."""
-    P = _homography_rows(p1, p2)  # [8, 9]
-    constraint = jnp.zeros((1, 9), P.dtype).at[0, 8].set(1.0)
-    A = jnp.concatenate([P, constraint], axis=0)  # [9, 9]
-    rhs = jnp.zeros((9,), P.dtype).at[8].set(1.0)
-    h = jnp.linalg.solve(A, rhs)
-    H = h.reshape(3, 3)
+    """Minimal 4-point homography (reference homography_model.cpp:19-50
+    solves the same problem as a 9x9 DLT system; we use the closed-form
+    canonical-frame construction H = T2 inv(T1), which is exact for the
+    minimal problem and avoids TPU-hostile batched tiny LU solves)."""
+    T1 = _canonical_transform(p1)
+    T2 = _canonical_transform(p2)
+    H = T2 @ inv3(T1)
     return H / H[2, 2]
 
 
@@ -92,7 +130,7 @@ def homography_fit_weighted(p1, p2, w):
 def homography_error(H, p1, p2):
     """Symmetric transfer error, sqrt((fwd + bwd) / 2)
     (reference homography_model.cpp:89-97)."""
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv3(H)
     o = jnp.ones_like(p1[..., :1])
     h1 = jnp.concatenate([p1, o], axis=-1)
     h2 = jnp.concatenate([p2, o], axis=-1)
