@@ -44,33 +44,40 @@ DETECTOR_THRESHOLD = 1e-4  # on normalized Hessian response of [0,1] images
 NMS_RADIUS_PIXELS = 8.0  # reference extract_features.cpp NMS radius
 
 
-def _gaussian_kernel1d(sigma: float, radius: int):
+@functools.lru_cache(maxsize=256)
+def _blur_toeplitz(sigma: float, n: int):
+    """Banded Toeplitz matrix applying a 1-d Gaussian with edge-clamp
+    padding folded into the border rows. Host-built once per (sigma, n);
+    becomes a compile-time constant of the jitted graph."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
     x = np.arange(-radius, radius + 1)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray(k / k.sum(), jnp.float32)
+    k = k / k.sum()
+    M = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for d in range(-radius, radius + 1):
+            j = min(max(i + d, 0), n - 1)
+            M[i, j] += k[d + radius]
+    return M.astype(np.float32)
 
 
 def _blur(img, sigma: float):
-    """Separable Gaussian blur of [B, H, W] (reflect padding)."""
-    radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = _gaussian_kernel1d(sigma, radius)
-    img4 = img[:, None, :, :]  # NCHW
-    kx = k.reshape(1, 1, 1, -1).astype(img.dtype)
-    ky = k.reshape(1, 1, -1, 1).astype(img.dtype)
-    pad = [(0, 0), (0, 0), (0, 0), (radius, radius)]
-    # Precision.HIGHEST: TPU convs default to bf16 accumulation, whose noise
-    # floor (amplified by the sigma^4 detector normalization) floods the
-    # detector threshold and flips near-tie descriptor bits.
-    out = jax.lax.conv_general_dilated(
-        jnp.pad(img4, pad, mode="edge"), kx, (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    pad = [(0, 0), (0, 0), (radius, radius), (0, 0)]
-    out = jax.lax.conv_general_dilated(
-        jnp.pad(out, pad, mode="edge"), ky, (1, 1), "VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[:, 0]
+    """Separable Gaussian blur of [B, H, W] (edge padding) as two banded
+    Toeplitz matmuls on the MXU.
+
+    The obvious conv_general_dilated form needs Precision.HIGHEST (TPU
+    convs default to bf16 accumulation, whose noise floor — amplified by
+    the sigma^4 detector normalization — floods the detector threshold
+    and flips near-tie descriptor bits) and then costs 2x this matmul
+    form at survey image sizes; the wasted off-band MXU FLOPs are free at
+    H, W of a few hundred. Blurs are the dominant cost of detect()."""
+    B, H, W = img.shape
+    Mh = jnp.asarray(_blur_toeplitz(float(sigma), H))
+    Mw = jnp.asarray(_blur_toeplitz(float(sigma), W))
+    out = jnp.einsum("ih,bhw->biw", Mh, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bhw,jw->bhj", out, Mw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 _DX = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
