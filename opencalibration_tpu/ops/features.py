@@ -302,7 +302,7 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
         )
 
     # ---- decimated octave pyramid ----
-    all_xy, all_vals, all_sig, all_valid = [], [], [], []
+    all_xy, all_vals, all_sig, all_valid, all_lvl = [], [], [], [], []
     base = _blur(images, BASE_SIGMA)
     for o in range(NUM_OCTAVES):
         step = float(2**o)
@@ -335,6 +335,9 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
         all_vals.append(vals)
         all_sig.append(sig)
         all_valid.append(valid)
+        # global level index o*SUBLEVELS+s (the reference keypoint's
+        # class_id/octave, cv::KeyPoint in extract_features.cpp)
+        all_lvl.append(lvl + o * SUBLEVELS)
         # next octave base: blur to 2*BASE then decimate
         nxt = _blur(cur, math.sqrt((2 * BASE_SIGMA) ** 2 - cur_rel**2))
         base = nxt[:, ::2, ::2]
@@ -343,6 +346,7 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     vals = jnp.concatenate(all_vals, axis=1)
     sig = jnp.concatenate(all_sig, axis=1)
     valid = jnp.concatenate(all_valid, axis=1)
+    lvl = jnp.concatenate(all_lvl, axis=1)
     score = jnp.where(valid, vals, -jnp.inf)
     top_vals, top_idx = jax.lax.top_k(score, min(max_features, score.shape[1]))
     take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
@@ -350,7 +354,7 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
     return dict(
         xy=xy,
         strength=jnp.where(jnp.isfinite(top_vals), top_vals, 0.0),
-        level=jnp.zeros_like(top_idx, jnp.int32),
+        level=take(lvl),
         sigma=take(sig),
         valid=jnp.isfinite(top_vals) & (top_vals > threshold),
     )
