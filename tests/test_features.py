@@ -29,6 +29,22 @@ def test_detect_finds_blobs():
     assert xy[:, 0].min() >= 15.4 and xy[:, 0].max() < 256 - 15.4
 
 
+def test_detect_level_sigma_consistent():
+    """Each keypoint's global level index (octave*SUBLEVELS + sublevel,
+    the reference cv::KeyPoint octave/class_id) must determine its
+    absolute sigma: sigma == BASE_SIGMA * 2^(level / SUBLEVELS)."""
+    img = jnp.asarray(textured_image())[None]
+    out = F.detect(img, max_features=256)
+    v = np.asarray(out["valid"][0])
+    lvl = np.asarray(out["level"][0])[v]
+    sig = np.asarray(out["sigma"][0])[v]
+    assert lvl.min() >= 0 and lvl.max() < F.NUM_OCTAVES * F.SUBLEVELS
+    expect = F.BASE_SIGMA * (2.0 ** (lvl / F.SUBLEVELS))
+    np.testing.assert_allclose(sig, expect, rtol=1e-5)
+    # the pyramid must actually use coarser octaves on blobby texture
+    assert lvl.max() >= F.SUBLEVELS
+
+
 def test_detect_is_deterministic():
     img = jnp.asarray(textured_image())[None]
     a = F.detect(img, max_features=128)
