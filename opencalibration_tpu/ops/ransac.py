@@ -100,28 +100,37 @@ def _sample_hypotheses(key, quality, valid, n_hyp, min_points, has_quality):
     replacement from the best pool_size(k), where pool_size grows linearly
     with k. Without quality, draws are uniform over all valid entries.
 
-    Implemented with the Gumbel-top-k trick: per-hypothesis uniform noise,
-    masked outside the pool, top-min_points indices = uniform sample
-    without replacement.
+    Exact uniform sampling without replacement via order statistics: the
+    i-th draw picks a rank in [0, pool-i) and is bumped past each smaller
+    previously-drawn rank (ascending). O(n_hyp * min_points) work on [K]
+    vectors — the earlier Gumbel-top-k formulation materialized a
+    [n_hyp, N] noise matrix and full-sorted every row to take 4 entries,
+    the single largest cost inside RANSAC on TPU.
     """
-    n = quality.shape[0]
     n_valid = jnp.sum(valid)
-
-    order = jnp.argsort(jnp.where(valid, quality, jnp.inf), stable=True)  # best first
-    ranks = jnp.argsort(order, stable=True)  # rank of each correspondence
+    # invalid entries sort last, so ranks < pool <= n_valid are all valid
+    order = jnp.argsort(jnp.where(valid, quality, jnp.inf), stable=True)
 
     k_idx = jnp.arange(n_hyp)
     pool = jnp.minimum(
         min_points + k_idx // _POOL_GROWTH_PERIOD, n_valid
     )  # [n_hyp]
     pool = jnp.maximum(pool, jnp.minimum(min_points, n_valid))
-    pool = jnp.where(has_quality, pool, n_valid)
+    pool = jnp.where(has_quality, pool, n_valid).astype(jnp.int32)
 
-    g = jax.random.uniform(key, (n_hyp, n))
-    in_pool = ranks[None, :] < pool[:, None]  # [n_hyp, N]
-    g = jnp.where(in_pool & valid[None, :], g, -1.0)
-    _, idx = jax.lax.top_k(g, min_points)
-    return idx  # [n_hyp, min_points]
+    u = jax.random.uniform(key, (n_hyp, min_points))
+    picks = []
+    for i in range(min_points):
+        m = jnp.maximum(pool - i, 1)
+        d = jnp.minimum((u[:, i] * m).astype(jnp.int32), m - 1)
+        if picks:
+            prev = jnp.sort(jnp.stack(picks, axis=1), axis=1)
+            for j in range(prev.shape[1]):
+                d = d + (d >= prev[:, j]).astype(jnp.int32)
+        picks.append(d)
+    # n_valid < min_points duplicates ranks; the feasibility gate in
+    # ransac() already voids the result in that case
+    return order[jnp.stack(picks, axis=1)]  # [n_hyp, min_points]
 
 
 def _fundamental_degensac(F, score, inliers, p1, p2, valid, threshold):
