@@ -117,7 +117,10 @@ def homography_fit_weighted(p1, p2, w):
     equivalent, reference homography_model.cpp:52-87). w: [N] weights
     (0 for outliers/padding)."""
     P = _homography_rows(p1, p2)  # [2N, 9]
-    ww = jnp.repeat(w, 2, axis=-1)  # each correspondence contributes 2 rows
+    # _homography_rows lays out [all x-rows; all y-rows] (block, not
+    # interleaved), so the per-row weight vector is [w; w] — NOT repeat(w, 2),
+    # which would misalign every weight with its correspondence.
+    ww = jnp.concatenate([w, w], axis=-1)
     A = (P * ww[..., None]).T @ P  # [9, 9] normal equations
     constraint = jnp.zeros((9,), P.dtype).at[8].set(1.0)
     A = A + jnp.outer(constraint, constraint)

@@ -259,3 +259,26 @@ def test_ransac_homography_with_poses():
     # best pose rotation should be close to the ground truth R (0.1 about z)
     Rbest = np.asarray(quat_to_matrix(quats[0]))
     assert np.linalg.norm(Rbest - rotz(0.1)) < 0.05
+
+
+def test_homography_fit_weighted_mask_alignment():
+    """Non-uniform 0/1 weights must zero out exactly the masked
+    correspondences (regression: repeat(w,2) interleaved weights against the
+    [x-rows; y-rows] block layout of _homography_rows, silently degrading
+    every weighted refit)."""
+    H, m1, m2, gt = homography_scene(120, 0, seed=3)
+    p1 = m1[:, :2].copy()
+    p2 = m2[:, :2].copy()
+    # corrupt 40 correspondences and give them weight 0
+    rng = np.random.default_rng(11)
+    bad = rng.choice(120, 40, replace=False)
+    p2[bad] += rng.uniform(1.0, 2.0, size=(40, 2))
+    w = np.ones(120)
+    w[bad] = 0.0
+    Hfit = M.homography_fit_weighted(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(w)
+    )
+    assert model_error(Hfit, H) < 1e-6, model_error(Hfit, H)
+    # and the fitted model must reproject the kept points exactly
+    err = np.asarray(M.homography_error(jnp.asarray(Hfit), jnp.asarray(p1), jnp.asarray(p2)))
+    assert err[w == 1].max() < 1e-6
