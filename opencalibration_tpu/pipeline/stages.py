@@ -367,12 +367,20 @@ class RelaxGroupState:
 
 class RelaxStage:
     """Spectral-clustered group relaxation
-    (reference src/pipeline/relax_stage.cpp + relax_group.cpp)."""
+    (reference src/pipeline/relax_stage.cpp + relax_group.cpp).
 
-    def __init__(self):
+    Groups are solved in ONE batched device dispatch (padded to a common
+    tangent layout, vmapped LM, sharded over a `groups` mesh axis when
+    several devices are visible) — the TPU-native replacement for the
+    reference's one-Ceres-solve-per-OMP-thread loop. Set
+    ``use_batched_solver=False`` to fall back to the serial per-group
+    path (used by parity tests)."""
+
+    def __init__(self, use_batched_solver: bool = True):
         self._groups: List[RelaxGroupState] = []
         self._options = RelaxOptions()
         self._surfaces: List[SurfaceModel] = []
+        self.use_batched_solver = use_batched_solver
 
     def init(
         self,
@@ -478,12 +486,47 @@ class RelaxStage:
 
     def run_all(self, graph: MeasurementGraph, previous_surfaces=()):
         self._surfaces = []
+        if not self._groups:
+            return
+        if not self.use_batched_solver or len(self._groups) == 0:
+            for g in self._groups:
+                surf = relax(
+                    graph, g.poses, g.cam_models, g.edge_ids, self._options,
+                    previous_surfaces,
+                )
+                self._surfaces.append(surf)
+            return
+
+        from opencalibration_tpu.parallel.group_solver import (
+            build_group_batch,
+            extract_group_params,
+            solve_group_batch,
+        )
+        from opencalibration_tpu.relax.problem_builder import apply_solution
+        from opencalibration_tpu.relax.relax import build_problem
+
+        builts = []
+        pre_solve = False
         for g in self._groups:
-            surf = relax(
+            built, pre = build_problem(
                 graph, g.poses, g.cam_models, g.edge_ids, self._options,
                 previous_surfaces,
             )
-            self._surfaces.append(surf)
+            builts.append(built)
+            pre_solve = pre_solve or (pre and built is not None)
+
+        live = [i for i, b in enumerate(builts) if b is not None]
+        self._surfaces = [SurfaceModel() for _ in self._groups]
+        if not live:
+            return
+        batch = build_group_batch([builts[i] for i in live])
+        solved, _ = solve_group_batch(batch, pre_solve=pre_solve)
+        for k, i in enumerate(live):
+            params_g = extract_group_params(batch, solved, k)
+            g = self._groups[i]
+            self._surfaces[i] = apply_solution(
+                builts[i], params_g, g.poses, g.cam_models
+            )
 
     def finalize(
         self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]
@@ -510,58 +553,106 @@ class RelaxStage:
         return self._surfaces
 
 
+@jax.jit
+def _refit_edges_batch(px1, px2, valid, w0, models1, models2):
+    """Vmapped 3x maximum-likelihood homography refit + decompose + pose
+    scoring for a bucket of edges — one device dispatch per (E, N) shape
+    instead of ~10 per edge (reference relax_group.cpp:119-178)."""
+    from opencalibration_tpu.ops import models as M
+
+    def one(px1, px2, valid, w, m1, m2):
+        r1, r2 = D.distort_keypoints(px1, px2, m1, m2)
+        p1 = M.hnormalize(r1)
+        p2 = M.hnormalize(r2)
+
+        def body(w, _):
+            Hm = M.homography_fit_weighted(p1, p2, w)
+            err = M.homography_error(Hm, p1, p2)
+            inl = (err < M.HOMOGRAPHY_INLIER_THRESHOLD) & valid
+            return inl.astype(w.dtype), Hm
+
+        w, Hs = jax.lax.scan(body, w, None, length=3)
+        Hm = Hs[-1]
+        Rs, ts, nrm, _ = M.homography_decompose(Hm)
+        scores = M.score_homography_poses(Rs, ts, nrm, r1, r2, w)
+        quats = M.poses_to_quaternions(Rs)
+        t_src = -jnp.einsum("kji,kj->ki", Rs, ts)
+        return Hm, w > 0, quats, t_src, scores
+
+    return jax.vmap(one)(px1, px2, valid, w0, models1, models2)
+
+
 def refit_all_edges(graph: MeasurementGraph, model_store: Dict[int, CameraModel]):
     """Re-fit every edge's homography from its previous inliers after
     intrinsics changed — deterministic 'maximum likelihood' 3x refit
-    (reference relax_group.cpp:119-178)."""
-    from opencalibration_tpu.ops import models as M
+    (reference relax_group.cpp:119-178), batched: edges are bucketed by
+    padded match count and each bucket refits in one vmapped dispatch."""
+    from opencalibration_tpu.relax.problem_builder import _bucket, _pad_rows
 
+    entries = []
     for eid, e in sorted(graph.edges()):
         rel = e.payload
-        if len(rel.match_idx1) == 0:
+        n = len(rel.match_idx1)
+        if n == 0:
             continue
         ns, nd = graph.get_node(e.source), graph.get_node(e.dest)
         ms = model_store[ns.payload.model_id].astype(jnp.float64)
         mdm = model_store[nd.payload.model_id].astype(jnp.float64)
         px1 = ns.payload.features.xy[rel.match_idx1]
         px2 = nd.payload.features.xy[rel.match_idx2]
-        r1, r2 = D.distort_keypoints(jnp.asarray(px1), jnp.asarray(px2), ms, mdm)
-        p1 = M.hnormalize(r1)
-        p2 = M.hnormalize(r2)
-        n = len(px1)
         inliers = np.zeros(n, bool)
         valid_idx = rel.inlier_match_index[rel.inlier_match_index < n]
         inliers[valid_idx] = True
         if inliers.sum() < 4:
             continue
-        w = jnp.asarray(inliers, jnp.float64)
-        Hm = None
-        for _ in range(3):
-            Hm = M.homography_fit_weighted(p1, p2, w)
-            err = M.homography_error(Hm, p1, p2)
-            inl = np.asarray(err) < M.HOMOGRAPHY_INLIER_THRESHOLD
-            w = jnp.asarray(inl, jnp.float64)
-        inl = np.asarray(w, bool)
-        rel.ransac_relation = np.asarray(Hm, np.float64)
-        rel.relation_type = RelationType.HOMOGRAPHY
-        Rs, ts, nrm, _ = M.homography_decompose(Hm)
-        scores = M.score_homography_poses(Rs, ts, nrm, r1, r2, jnp.asarray(w))
-        order = np.argsort(-np.asarray(scores), kind="stable")
-        quats = M.poses_to_quaternions(Rs)
-        t_src = -jnp.einsum("kji,kj->ki", Rs, ts)
-        rel.rel_quats = np.asarray(quats)[order]
-        rel.rel_positions = np.asarray(t_src)[order]
-        rel.rel_scores = np.asarray(scores)[order]
-        if inl.sum() > 4 * 1.5 and scores[order[0]] > 0:
-            keep = np.where(inl)[0]
-            rel.inlier_idx1 = rel.match_idx1[keep]
-            rel.inlier_idx2 = rel.match_idx2[keep]
-            rel.inlier_pixel1 = px1[keep]
-            rel.inlier_pixel2 = px2[keep]
-            rel.inlier_match_index = keep.astype(np.int32)
-        else:
-            rel.inlier_idx1 = np.zeros(0, np.int32)
-            rel.inlier_idx2 = np.zeros(0, np.int32)
-            rel.inlier_pixel1 = np.zeros((0, 2))
-            rel.inlier_pixel2 = np.zeros((0, 2))
-            rel.inlier_match_index = np.zeros(0, np.int32)
+        entries.append((e, n, px1, px2, inliers, ms, mdm))
+
+    # bucket by padded match count so jit shapes repeat
+    buckets: Dict[int, list] = {}
+    for entry in entries:
+        buckets.setdefault(_bucket(entry[1], minimum=16), []).append(entry)
+
+    for nb in sorted(buckets):
+        group = buckets[nb]
+        eb = _bucket(len(group), minimum=1)
+        padded = group + [group[-1]] * (eb - len(group))
+        px1 = np.stack([_pad_rows(g[2].astype(np.float64), nb) for g in padded])
+        px2 = np.stack([_pad_rows(g[3].astype(np.float64), nb) for g in padded])
+        valid = np.stack(
+            [_pad_rows(np.ones(g[1], bool), nb, fill=False) for g in padded]
+        )
+        w0 = np.stack(
+            [_pad_rows(g[4].astype(np.float64), nb) for g in padded]
+        )
+        Hm_b, inl_b, quats_b, t_b, scores_b = jax.tree.map(
+            np.asarray,
+            _refit_edges_batch(
+                jnp.asarray(px1), jnp.asarray(px2), jnp.asarray(valid),
+                jnp.asarray(w0),
+                stack_cameras([g[5] for g in padded]),
+                stack_cameras([g[6] for g in padded]),
+            ),
+        )
+        for i, (e, n, epx1, epx2, _, _, _) in enumerate(group):
+            rel = e.payload
+            inl = inl_b[i, :n]
+            scores = scores_b[i]
+            rel.ransac_relation = Hm_b[i].astype(np.float64)
+            rel.relation_type = RelationType.HOMOGRAPHY
+            order = np.argsort(-scores, kind="stable")
+            rel.rel_quats = quats_b[i][order]
+            rel.rel_positions = t_b[i][order]
+            rel.rel_scores = scores[order]
+            if inl.sum() > 4 * 1.5 and scores[order[0]] > 0:
+                keep = np.where(inl)[0]
+                rel.inlier_idx1 = rel.match_idx1[keep]
+                rel.inlier_idx2 = rel.match_idx2[keep]
+                rel.inlier_pixel1 = epx1[keep]
+                rel.inlier_pixel2 = epx2[keep]
+                rel.inlier_match_index = keep.astype(np.int32)
+            else:
+                rel.inlier_idx1 = np.zeros(0, np.int32)
+                rel.inlier_idx2 = np.zeros(0, np.int32)
+                rel.inlier_pixel1 = np.zeros((0, 2))
+                rel.inlier_pixel2 = np.zeros((0, 2))
+                rel.inlier_match_index = np.zeros(0, np.int32)

@@ -732,7 +732,19 @@ def solve_problem(
         params, built.blocks, built.layout, built.free_mask,
         max_iterations=max_iterations,
     )
+    return apply_solution(built, params, node_poses, cam_models)
 
+
+def apply_solution(
+    built: BuiltProblem,
+    params: RelaxParams,
+    node_poses: Sequence[NodePose],
+    cam_models: Optional[Dict[int, CameraModel]] = None,
+) -> SurfaceModel:
+    """Write solved parameters back into node_poses / cam_models and build
+    the surface model (getSurfaceModel, reference relax_problem.cpp:1449-1507).
+    Split from solve_problem so batched/sharded group solvers
+    (parallel.group_solver) can reuse the identical write-back."""
     quats = np.asarray(params.quats)
     for np_ in node_poses:
         slot = built.cam_index.get(np_.node_id)

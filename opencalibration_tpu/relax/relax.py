@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 from opencalibration_tpu.relax.problem_builder import (
     BuiltProblem,
@@ -15,6 +15,35 @@ from opencalibration_tpu.relax.problem_builder import (
 )
 from opencalibration_tpu.types.camera import CameraModel
 from opencalibration_tpu.types.graph import MeasurementGraph, NodePose, SurfaceModel
+
+
+def build_problem(
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    cam_models: Dict[int, CameraModel],
+    edge_ids: Sequence[int],
+    options: RelaxOptions,
+    previous_surfaces: Sequence[SurfaceModel] = (),
+    grid_fraction: float = 0.15,
+) -> Tuple[Optional[BuiltProblem], bool]:
+    """Build the relax problem for one working set without solving it.
+    Returns (BuiltProblem or None, pre_solve_surface flag) — the batched
+    group solver builds every group first, then solves them all in one
+    device dispatch (reference runs one Ceres solve per RelaxGroup,
+    relax_stage.cpp:100-111)."""
+    if options.ground_mesh or options.ground_plane:
+        built = build_mesh_problem(
+            graph, node_poses, cam_models, edge_ids, options,
+            previous_surfaces, grid_fraction,
+        )
+        return built, True
+    if options.points_3d:
+        built = build_points_problem(
+            graph, node_poses, cam_models, edge_ids, options
+        )
+        return built, True
+    built = build_decomposition_problem(graph, node_poses, edge_ids)
+    return built, False
 
 
 def relax(
@@ -30,26 +59,14 @@ def relax(
     nadir (the reference's incremental one-at-a-time bootstrap,
     relax.cpp:44-79, collapses to fill-then-solve here: GPS-pinned
     positions + the downwards prior give the same basin)."""
-    if options.ground_mesh or options.ground_plane:
-        built = build_mesh_problem(
-            graph, node_poses, cam_models, edge_ids, options,
-            previous_surfaces, grid_fraction,
-        )
-        if built is None:
-            return SurfaceModel()
-        return solve_problem(
-            built, node_poses, cam_models, pre_solve_surface=True
-        )
-    if options.points_3d:
-        built = build_points_problem(
-            graph, node_poses, cam_models, edge_ids, options
-        )
-        if built is None:
-            return SurfaceModel()
-        return solve_problem(
-            built, node_poses, cam_models, pre_solve_surface=True
-        )
-    built = build_decomposition_problem(graph, node_poses, edge_ids)
+    built, pre_solve = build_problem(
+        graph, node_poses, cam_models, edge_ids, options,
+        previous_surfaces, grid_fraction,
+    )
     if built is None:
         return SurfaceModel()
+    if pre_solve:
+        return solve_problem(
+            built, node_poses, cam_models, pre_solve_surface=True
+        )
     return solve_problem(built, node_poses)
