@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 # TIFF tags
+T_NEW_SUBFILE_TYPE = 254
 T_IMAGE_WIDTH = 256
 T_IMAGE_LENGTH = 257
 T_BITS_PER_SAMPLE = 258
@@ -37,6 +38,10 @@ T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTE_COUNTS = 279
 T_PLANAR_CONFIG = 284
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_BYTE_COUNTS = 325
 T_EXTRA_SAMPLES = 338
 T_SAMPLE_FORMAT = 339
 T_MODEL_PIXEL_SCALE = 33550
@@ -350,8 +355,240 @@ def read_geotiff_overviews(path: str):
     return shapes
 
 
+class GeoTiffTileWriter:
+    """Streaming tiled-GeoTIFF writer: tiles are deflated and appended to
+    the file the moment they are produced (any arrival order), the IFD is
+    written at close and the header's IFD pointer back-patched — so peak
+    memory is one tile plus the (quarter-res-and-smaller) overview
+    accumulation buffers, independent of output size.
+
+    This is the TPU-native stand-in for the reference's incremental GDAL
+    tile writes with async flush (reference src/ortho/ortho.cpp:1465-1640
+    creates tiled GeoTIFFs and RasterIO-writes each tile as rendered).
+
+    Supported pixel types: uint8 multi-band, float32, uint32 (used for the
+    camera-id sidecar rasters, reference ortho.cpp camera-uuid layers).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        channels: int,
+        dtype,
+        origin_xy: Tuple[float, float],
+        pixel_size: Tuple[float, float],
+        tile_size: int = 256,
+        wkt: Optional[str] = None,
+        nodata: Optional[float] = None,
+        compress: bool = True,
+        overviews: int = 0,
+    ):
+        if tile_size % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        self.width, self.height, self.channels = width, height, channels
+        self.dtype = np.dtype(dtype)
+        if self.dtype == np.uint8:
+            self._bits, self._sample_format = 8, 1
+        elif self.dtype == np.dtype("<f4") or self.dtype == np.float32:
+            self.dtype = np.dtype("<f4")
+            self._bits, self._sample_format = 32, 3
+        elif self.dtype == np.uint32:
+            self.dtype = np.dtype("<u4")
+            self._bits, self._sample_format = 32, 1
+        else:
+            raise ValueError(f"unsupported dtype {dtype}")
+        self.tile_size = tile_size
+        self.origin_xy = origin_xy
+        self.pixel_size = pixel_size
+        self.wkt = wkt
+        self.nodata = nodata
+        self.compress = compress
+        self.tiles_x = (width + tile_size - 1) // tile_size
+        self.tiles_y = (height + tile_size - 1) // tile_size
+        n_tiles = self.tiles_x * self.tiles_y
+        self._offsets = [0] * n_tiles
+        self._counts = [0] * n_tiles
+        self._written = set()
+        # 2x-downsampled overview accumulators (quarter-area and smaller)
+        self._n_overviews = overviews
+        self._ov = []
+        h, w = height, width
+        for _ in range(overviews):
+            h, w = max(1, h // 2), max(1, w // 2)
+            self._ov.append(np.zeros((h, w, channels), self.dtype))
+            if min(h, w) < 2:
+                break
+        self._f = open(path, "wb")
+        self._f.write(struct.pack("<2sHI", b"II", 42, 0))  # IFD ptr patched at close
+        self._pos = 8
+        self._closed = False
+
+    def write_tile(self, tx: int, ty: int, data: np.ndarray):
+        """data: [th, tw, C] (edge tiles may be smaller; padded to full)."""
+        idx = ty * self.tiles_x + tx
+        if idx in self._written:
+            raise ValueError(f"tile ({tx},{ty}) written twice")
+        self._written.add(idx)
+        data = np.asarray(data)
+        if data.ndim == 2:
+            data = data[:, :, None]
+        th, tw = data.shape[:2]
+        ts = self.tile_size
+        full = np.zeros((ts, ts, self.channels), self.dtype)
+        full[:th, :tw] = data.astype(self.dtype)
+        raw = full.tobytes()
+        blob = zlib.compress(raw, 6) if self.compress else raw
+        self._offsets[idx] = self._pos
+        self._counts[idx] = len(blob)
+        self._f.write(blob)
+        self._pos += len(blob)
+        if self._pos % 2:
+            self._f.write(b"\x00")
+            self._pos += 1
+        # accumulate overviews (2x AVERAGE per level)
+        lvl_data = full[:th, :tw]
+        x0, y0 = tx * ts, ty * ts
+        for ov in self._ov:
+            h2, w2 = lvl_data.shape[0] // 2 * 2, lvl_data.shape[1] // 2 * 2
+            if h2 < 2 or w2 < 2:
+                break
+            d = lvl_data[:h2, :w2].astype(np.float64)
+            down = 0.25 * (d[0::2, 0::2] + d[1::2, 0::2] + d[0::2, 1::2] + d[1::2, 1::2])
+            x0, y0 = x0 // 2, y0 // 2
+            oh, ow = ov.shape[:2]
+            ph = min(down.shape[0], oh - y0)
+            pw = min(down.shape[1], ow - x0)
+            if ph <= 0 or pw <= 0:
+                break
+            ov[y0 : y0 + ph, x0 : x0 + pw] = down[:ph, :pw].astype(self.dtype)
+            lvl_data = down[:ph, :pw]
+
+    def _base_ifd(self) -> "_IFD":
+        ifd = _IFD()
+        ifd.add(T_IMAGE_WIDTH, TYPE_LONG, self.width)
+        ifd.add(T_IMAGE_LENGTH, TYPE_LONG, self.height)
+        ifd.add(T_BITS_PER_SAMPLE, TYPE_SHORT, [self._bits] * self.channels)
+        ifd.add(T_COMPRESSION, TYPE_SHORT, 8 if self.compress else 1)
+        is_rgb = self.channels >= 3 and self.dtype == np.uint8
+        ifd.add(T_PHOTOMETRIC, TYPE_SHORT, 2 if is_rgb else 1)
+        ifd.add(T_SAMPLES_PER_PIXEL, TYPE_SHORT, self.channels)
+        ifd.add(T_PLANAR_CONFIG, TYPE_SHORT, 1)
+        ifd.add(T_SAMPLE_FORMAT, TYPE_SHORT, [self._sample_format] * self.channels)
+        if self.channels == 4 and self.dtype == np.uint8:
+            ifd.add(T_EXTRA_SAMPLES, TYPE_SHORT, [2])
+        return ifd
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        # unwritten tiles -> one shared zero tile
+        missing = [i for i in range(len(self._offsets)) if i not in self._written]
+        if missing:
+            zero = np.zeros((self.tile_size, self.tile_size, self.channels), self.dtype)
+            raw = zero.tobytes()
+            blob = zlib.compress(raw, 6) if self.compress else raw
+            off = self._pos
+            self._f.write(blob)
+            self._pos += len(blob)
+            if self._pos % 2:
+                self._f.write(b"\x00")
+                self._pos += 1
+            for i in missing:
+                self._offsets[i] = off
+                self._counts[i] = len(blob)
+
+        ifds = []
+        base = self._base_ifd()
+        base.add(T_TILE_WIDTH, TYPE_SHORT, self.tile_size)
+        base.add(T_TILE_LENGTH, TYPE_SHORT, self.tile_size)
+        base.add(T_TILE_OFFSETS, TYPE_LONG, self._offsets)
+        base.add(T_TILE_BYTE_COUNTS, TYPE_LONG, self._counts)
+        base.add(
+            T_MODEL_PIXEL_SCALE, TYPE_DOUBLE,
+            [self.pixel_size[0], self.pixel_size[1], 0.0],
+        )
+        base.add(
+            T_MODEL_TIEPOINT, TYPE_DOUBLE,
+            [0.0, 0.0, 0.0, self.origin_xy[0], self.origin_xy[1], 0.0],
+        )
+        geo_dir, ascii_params = _geo_keys(self.wkt)
+        base.add(T_GEO_KEY_DIRECTORY, TYPE_SHORT, geo_dir)
+        base.add(T_GEO_ASCII_PARAMS, TYPE_ASCII, ascii_params)
+        if self.nodata is not None:
+            base.add(T_GDAL_NODATA, TYPE_ASCII, repr(float(self.nodata)))
+        ifds.append(base)
+
+        # overview IFDs: strip-organized reduced-resolution subfiles
+        ov_strip_info = []
+        for ov in self._ov:
+            H, W, C = ov.shape
+            strips = []
+            item = self.dtype.itemsize
+            rows_per_strip = max(1, min(H, (1 << 20) // max(1, W * C * item)))
+            offs, cnts = [], []
+            for r0 in range(0, H, rows_per_strip):
+                raw = np.ascontiguousarray(ov[r0 : r0 + rows_per_strip]).tobytes()
+                blob = zlib.compress(raw, 6) if self.compress else raw
+                offs.append(self._pos)
+                cnts.append(len(blob))
+                self._f.write(blob)
+                self._pos += len(blob)
+                if self._pos % 2:
+                    self._f.write(b"\x00")
+                    self._pos += 1
+            ifd = _IFD()
+            ifd.add(T_NEW_SUBFILE_TYPE, TYPE_LONG, 1)
+            ifd.add(T_IMAGE_WIDTH, TYPE_LONG, W)
+            ifd.add(T_IMAGE_LENGTH, TYPE_LONG, H)
+            ifd.add(T_BITS_PER_SAMPLE, TYPE_SHORT, [self._bits] * C)
+            ifd.add(T_COMPRESSION, TYPE_SHORT, 8 if self.compress else 1)
+            is_rgb = C >= 3 and self.dtype == np.uint8
+            ifd.add(T_PHOTOMETRIC, TYPE_SHORT, 2 if is_rgb else 1)
+            ifd.add(T_SAMPLES_PER_PIXEL, TYPE_SHORT, C)
+            ifd.add(T_ROWS_PER_STRIP, TYPE_LONG, rows_per_strip)
+            ifd.add(T_PLANAR_CONFIG, TYPE_SHORT, 1)
+            ifd.add(T_SAMPLE_FORMAT, TYPE_SHORT, [self._sample_format] * C)
+            if C == 4 and self.dtype == np.uint8:
+                ifd.add(T_EXTRA_SAMPLES, TYPE_SHORT, [2])
+            ifd.add(T_STRIP_OFFSETS, TYPE_LONG, offs)
+            ifd.add(T_STRIP_BYTE_COUNTS, TYPE_LONG, cnts)
+            ifds.append(ifd)
+            ov_strip_info.append((offs, cnts))
+
+        # serialize the IFD chain after the pixel data
+        pos = self._pos
+        blobs, offsets = [], []
+        for ifd in ifds:
+            offsets.append(pos)
+            n_entries = len(ifd.entries)
+            ifd_size = 2 + n_entries * 12 + 4
+            ifd_bytes, out_of_line = ifd.serialize(pos + ifd_size)
+            blob = ifd_bytes + out_of_line
+            if len(blob) % 2:
+                blob += b"\x00"
+            blobs.append(blob)
+            pos += len(blob)
+        for i, blob in enumerate(blobs):
+            n_entries = struct.unpack_from("<H", blob, 0)[0]
+            next_off = offsets[i + 1] if i + 1 < len(blobs) else 0
+            head = 2 + n_entries * 12
+            self._f.write(blob[:head] + struct.pack("<I", next_off) + blob[head + 4 :])
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", offsets[0]))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_geotiff(path: str):
-    """Read a (this-module or compatible strip-based) GeoTIFF.
+    """Read a (this-module or compatible strip- or tile-based) GeoTIFF.
 
     Returns (image [H, W, C], origin_xy, pixel_size, wkt_or_None).
     """
@@ -386,16 +623,37 @@ def read_geotiff(path: str):
     rps = tags.get(T_ROWS_PER_STRIP, [H])[0]
     dtype = np.dtype("<f4") if (sf == 3 and bits == 32) else np.uint8
 
-    chunks = []
-    for off, cnt in zip(tags[T_STRIP_OFFSETS], tags[T_STRIP_BYTE_COUNTS]):
+    if T_SAMPLE_FORMAT in tags and sf == 1 and bits == 32:
+        dtype = np.dtype("<u4")
+
+    def _decode(off, cnt):
         raw = data[off : off + cnt]
         if compression == 8:
             raw = zlib.decompress(raw)
         elif compression != 1:
             raise ValueError(f"unsupported compression {compression}")
-        chunks.append(raw)
-    flat = b"".join(chunks)
-    img = np.frombuffer(flat, dtype=dtype, count=H * W * C).reshape(H, W, C).copy()
+        return raw
+
+    if T_TILE_OFFSETS in tags:
+        tw_ = tags[T_TILE_WIDTH][0]
+        tl_ = tags[T_TILE_LENGTH][0]
+        tiles_x = (W + tw_ - 1) // tw_
+        img = np.zeros((H, W, C), dtype)
+        for idx, (off, cnt) in enumerate(
+            zip(tags[T_TILE_OFFSETS], tags[T_TILE_BYTE_COUNTS])
+        ):
+            tile = np.frombuffer(_decode(off, cnt), dtype=dtype).reshape(tl_, tw_, C)
+            ty, tx = divmod(idx, tiles_x)
+            y0, x0 = ty * tl_, tx * tw_
+            img[y0 : y0 + tl_, x0 : x0 + tw_] = tile[
+                : min(tl_, H - y0), : min(tw_, W - x0)
+            ]
+    else:
+        flat = b"".join(
+            _decode(off, cnt)
+            for off, cnt in zip(tags[T_STRIP_OFFSETS], tags[T_STRIP_BYTE_COUNTS])
+        )
+        img = np.frombuffer(flat, dtype=dtype, count=H * W * C).reshape(H, W, C).copy()
 
     scale = tags.get(T_MODEL_PIXEL_SCALE)
     tie = tags.get(T_MODEL_TIEPOINT)

@@ -34,6 +34,7 @@ from opencalibration_tpu.ortho.blending import (
     compute_blend_weight,
     laplacian_blend,
     pull_push_fill,
+    sigmoid_transition_weight,
 )
 from opencalibration_tpu.ortho.color_balance import (
     ColorCorrespondence,
@@ -175,7 +176,23 @@ def _clamp_resolution(width, height, max_megapixels: float):
     return width, height, 1.0
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+def _bilinear(img, ipx):
+    """[H, W, C] image, [P, 2] positions -> [P, C] bilinear samples."""
+    x0 = jnp.clip(jnp.floor(ipx[:, 0]).astype(jnp.int32), 0, img.shape[1] - 2)
+    y0 = jnp.clip(jnp.floor(ipx[:, 1]).astype(jnp.int32), 0, img.shape[0] - 2)
+    fx = jnp.clip(ipx[:, 0] - x0, 0.0, 1.0)[:, None]
+    fy = jnp.clip(ipx[:, 1] - y0, 0.0, 1.0)[:, None]
+    c00 = img[y0, x0]
+    c01 = img[y0, x0 + 1]
+    c10 = img[y0 + 1, x0]
+    c11 = img[y0 + 1, x0 + 1]
+    return (
+        c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy + c11 * fx * fy
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("taps",))
 def _sample_cameras_kernel(
     points,  # [P, 3] world sample points
     cam_quats,  # [K, 4]
@@ -186,16 +203,29 @@ def _sample_cameras_kernel(
     img_scale,  # [K] image px per model px (thumbnail scale)
     cam_valid,  # [K]
     avg_elevation,
-    K: int,
+    gsd,  # output ground sample distance (world units per output pixel)
+    taps: int = 1,
 ):
-    """Project P points into K cameras; bilinear-sample colors + weights.
+    """Project P points into K cameras; sample colors + weights + geometry.
 
-    Returns colors [K, P, C], weights [K, P] (0 where invalid)."""
+    With taps > 1, each output pixel's world footprint (gsd x gsd) is
+    supersampled with a taps x taps grid mapped through the local
+    world->pixel projection Jacobian — the TPU-native, fixed-cost
+    equivalent of the reference's adaptive Jacobian-ellipse PatchSampler
+    (reference ortho.cpp:69-222, jacobian :81-115): when the footprint
+    spans many source pixels the taps spread anisotropically across them,
+    when it is subpixel they collapse onto the bilinear neighborhood.
+
+    Returns colors [K, P, C], weights [K, P] (0 where invalid), and
+    geom [K, P, 4] = (normalized_radius, view_angle, normalized_x,
+    normalized_y) per sample — the radiometric coordinates the
+    color-balance model is parameterized in (reference ortho.cpp:1324-1418
+    + radiometric_cost.hpp:21-200)."""
 
     def per_cam(q, t, model, img, hw, scale, ok):
-        ray = quat_rotate_inverse(q[None], points - t[None])  # [P, 3]
-        in_front = ray[:, 2] > 0
-        px = jax.vmap(lambda r: image_from_3d(r, model))(ray)  # [P, 2] model px
+        rays = quat_rotate_inverse(q[None], points - t[None])  # [P, 3]
+        in_front = rays[:, 2] > 0
+        px = jax.vmap(lambda r: image_from_3d(r, model))(rays)  # [P, 2] model px
         ipx = px * scale
         h = hw[0].astype(px.dtype)
         w = hw[1].astype(px.dtype)
@@ -203,29 +233,42 @@ def _sample_cameras_kernel(
             (ipx[:, 0] > 0) & (ipx[:, 0] < w - 1)
             & (ipx[:, 1] > 0) & (ipx[:, 1] < h - 1)
         )
-        x0 = jnp.clip(jnp.floor(ipx[:, 0]).astype(jnp.int32), 0, img.shape[1] - 2)
-        y0 = jnp.clip(jnp.floor(ipx[:, 1]).astype(jnp.int32), 0, img.shape[0] - 2)
-        fx = jnp.clip(ipx[:, 0] - x0, 0.0, 1.0)[:, None]
-        fy = jnp.clip(ipx[:, 1] - y0, 0.0, 1.0)[:, None]
-        c00 = img[y0, x0]
-        c01 = img[y0, x0 + 1]
-        c10 = img[y0 + 1, x0]
-        c11 = img[y0 + 1, x0 + 1]
-        color = (
-            c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
-            + c10 * (1 - fx) * fy + c11 * fx * fy
-        )
+        if taps <= 1:
+            color = _bilinear(img, ipx)
+        else:
+            def proj_at(offset, point):
+                p = point.at[:2].add(offset)
+                return image_from_3d(quat_rotate_inverse(q, p - t), model)
+
+            J = jax.vmap(
+                lambda p: jax.jacfwd(proj_at)(jnp.zeros(2, points.dtype), p)
+            )(points)  # [P, 2, 2] d(model px)/d(world xy)
+            u = (jnp.arange(taps, dtype=points.dtype) + 0.5) / taps - 0.5
+            uu, vv = jnp.meshgrid(u, u)
+            offs = jnp.stack([uu.ravel(), vv.ravel()], axis=1) * gsd  # [T, 2]
+            tap_px = px[:, None, :] + jnp.einsum("pij,tj->pti", J, offs)
+            tap_colors = jax.vmap(
+                lambda tp: _bilinear(img, tp), in_axes=1, out_axes=0
+            )(tap_px * scale)  # [T, P, C]
+            color = jnp.mean(tap_colors, axis=0)
         horiz = jnp.linalg.norm(points[:, :2] - t[None, :2], axis=1)
         wgt = compute_blend_weight(
             ipx[:, 0], ipx[:, 1], w, h, horiz / jnp.maximum(avg_elevation, 1e-6)
         )
         wgt = jnp.where(in_front & inside & ok, wgt, 0.0)
-        return color, wgt
+        pr = px - model.principal_point
+        half_diag = 0.5 * jnp.sqrt(model.pixels_cols**2 + model.pixels_rows**2)
+        radius = jnp.linalg.norm(pr, axis=1) / jnp.maximum(half_diag, 1e-6)
+        angle = jnp.arctan2(jnp.linalg.norm(rays[:, :2], axis=1), rays[:, 2])
+        nx = pr[:, 0] / jnp.maximum(model.pixels_cols, 1.0)
+        ny = pr[:, 1] / jnp.maximum(model.pixels_rows, 1.0)
+        geom = jnp.stack([radius, angle, nx, ny], axis=1)
+        return color, wgt, geom
 
-    colors, weights = jax.vmap(per_cam)(
+    colors, weights, geom = jax.vmap(per_cam)(
         cam_quats, cam_pos, models, images, img_hw, img_scale, cam_valid
     )
-    return colors, weights
+    return colors, weights, geom
 
 
 def _stack_thumbnails(graph, nodes):
@@ -300,7 +343,7 @@ def generate_orthomosaic(
 
     # evaluate ALL cameras for every pixel (few thumbnails, cheap), then
     # restrict choice to the 5 GPS-nearest per pixel like the reference
-    colors, weights = _sample_cameras_kernel(
+    colors, weights, _ = _sample_cameras_kernel(
         jnp.asarray(points, jnp.float32),
         jnp.asarray(quats, jnp.float32),
         jnp.asarray(poss, jnp.float32),
@@ -310,7 +353,7 @@ def generate_orthomosaic(
         jnp.asarray(scales),
         jnp.ones(len(nodes), bool),
         jnp.asarray(ctx.average_camera_elevation, jnp.float32),
-        K=len(nodes),
+        jnp.asarray(gsd, jnp.float32),
     )
     colors = np.asarray(colors)  # [N, P, 3]
     weights = np.asarray(weights)  # [N, P]
@@ -383,8 +426,21 @@ class OrthoJob:
     """Full-resolution orthomosaic render job, split into the pipeline's
     GENERATE_LAYERS / COLOR_BALANCE / BLEND_LAYERS phases
     (reference generateLayeredGeoTIFF + solveColorBalance +
-    blendLayeredGeoTIFF, ortho.cpp:966-2050). Layers are held per tile in
-    memory (no intermediate layered file) — same math, flatter plumbing.
+    blendLayeredGeoTIFF, ortho.cpp:966-2050).
+
+    GENERATE_LAYERS renders each tile ONCE: per-pixel top-5 cameras chosen
+    by blend weight from the full tile candidate set (reference picks the
+    per-pixel closest-5 from the tile candidates, ortho.cpp:1206-1300),
+    with anisotropic footprint sampling and real per-sample radiometric
+    geometry; the resulting layer stacks (Lab colors, weights, geometry,
+    camera indices) are this build's "layered GeoTIFF" — held in RAM below
+    a size threshold, spilled per tile to disk above it. BLEND_LAYERS
+    re-reads the stored layers (no second render), applies the full
+    radiometric correction (offsets + vignetting + BRDF + slope,
+    ortho.cpp:1839-1875), sigmoid transition weights, pull-push fill +
+    Laplacian blend, and streams each finished tile straight into a tiled
+    GeoTIFF (plus an optional camera-id sidecar raster), so peak memory is
+    per-tile, independent of output size.
 
     Usage: job = OrthoJob(...); job.pass_layers(); job.solve_balance();
     job.pass_blend(path) — or generate_ortho_geotiff() for all at once.
@@ -400,6 +456,9 @@ class OrthoJob:
         tile_size: int = DEFAULT_TILE,
         cache_images: int = 16,
         blend_levels: int = 4,
+        taps: int = 3,
+        blend_transition: float = 0.05,
+        layer_store_limit_mb: float = 512.0,
     ):
         self.ok = False
         self.correspondences: List[ColorCorrespondence] = []
@@ -408,6 +467,11 @@ class OrthoJob:
         # num_tiles_x, num_tiles_y, fraction_done, png_base64) during the
         # blend pass (reference TileUpdate, progress.hpp:15-34)
         self.tile_callback = None
+        self.taps = taps
+        self.blend_transition = blend_transition
+        self.layer_store_limit_mb = layer_store_limit_mb
+        self._layers: Dict[int, object] = {}  # tile idx -> dict | spill path
+        self._spill_dir = None
         self._setup(surfaces, graph, model_store, geocoord, max_megapixels,
                     tile_size, cache_images, blend_levels)
 
@@ -421,6 +485,7 @@ class OrthoJob:
         ctx = prepare_context(surfaces, graph, model_store, thumbnail=False)
         if ctx is None:
             return
+        self._ctx = ctx
         b = ctx.bounds
         width = max(int((b.max_x - b.min_x) / ctx.gsd), 1)
         height = max(int((b.max_y - b.min_y) / ctx.gsd), 1)
@@ -430,8 +495,6 @@ class OrthoJob:
         nodes = ctx.involved_nodes
         import scipy.spatial
 
-        graph = self.graph
-        model_store = self.model_store
         cam_xy = np.stack(
             [np.asarray(graph.get_node(n).payload.position[:2]) for n in nodes]
         )
@@ -440,162 +503,250 @@ class OrthoJob:
         tiles_x = (width + tile_size - 1) // tile_size
         tiles_y = (height + tile_size - 1) // tile_size
 
-        # per-tile candidate cameras (findTileCameras, ortho.cpp:1104-1160)
+        # per-tile candidate cameras (findTileCameras, ortho.cpp:1104-1160):
+        # a few more than the per-pixel max so corner pixels still see
+        # their best camera after the per-pixel top-K selection
+        self._kc = min(MAX_CAMERAS_PER_PIXEL + 3, len(nodes))
         tile_cams: Dict[int, set] = {}
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 cx = b.min_x + gsd * (tx + 0.5) * tile_size
                 cy = b.max_y - gsd * (ty + 0.5) * tile_size
-                k = min(MAX_CAMERAS_PER_PIXEL + 3, len(nodes))
-                _, nn = tree.query([cx, cy], k=k)
+                _, nn = tree.query([cx, cy], k=self._kc)
                 tile_cams[ty * tiles_x + tx] = {int(i) for i in np.atleast_1d(nn)}
 
-        order = compute_cache_aware_tile_order(tile_cams, tiles_x, tiles_y, cache_images)
-        cache = FullResolutionImageCache(max_images=cache_images)
-
-        quats_all = np.stack([np.asarray(graph.get_node(n).payload.orientation) for n in nodes])
-        poss_all = np.stack([np.asarray(graph.get_node(n).payload.position) for n in nodes])
-
-        import cv2
-
-        def load_lab(idx):
-            node = graph.get_node(nodes[idx])
-            img = cache.get(node.payload.path)
-            if img is None:
-                return None
-            return cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
-
-        KMAX = MAX_CAMERAS_PER_PIXEL
-        blend_levels = self.blend_levels
-
-        def render_tile(tx, ty, corrections=None, correspondences=None):
-            x0 = tx * tile_size
-            y0 = ty * tile_size
-            tw = min(tile_size, width - x0)
-            th = min(tile_size, height - y0)
-            xs = b.min_x + gsd * (x0 + np.arange(tw))
-            ys = b.max_y - gsd * (y0 + np.arange(th))
-            gx, gy = np.meshgrid(xs, ys)
-            flat_xy = np.stack([gx.ravel(), gy.ravel()], axis=1)
-            z = ctx.mesh.interpolate_z(flat_xy)
-            valid_z = np.isfinite(z)
-            points = np.concatenate([flat_xy, np.where(valid_z, z, 0.0)[:, None]], axis=1)
-
-            cams = sorted(tile_cams[ty * tiles_x + tx])[:KMAX]
-            imgs, hws, idxs = [], [], []
-            for ci in cams:
-                lab = load_lab(ci)
-                if lab is None:
-                    continue
-                imgs.append(lab)
-                hws.append(lab.shape[:2])
-                idxs.append(ci)
-            if not imgs:
-                return np.zeros((th, tw, 4), np.uint8), z.reshape(th, tw)
-            Hm = max(i.shape[0] for i in imgs)
-            Wm = max(i.shape[1] for i in imgs)
-            stack = np.zeros((len(imgs), Hm, Wm, 3), np.float32)
-            for i, im in enumerate(imgs):
-                stack[i, : im.shape[0], : im.shape[1]] = im
-            models = stack_cameras(
-                [
-                    model_store[graph.get_node(nodes[i]).payload.model_id].astype(jnp.float32)
-                    for i in idxs
-                ]
-            )
-            scales = np.asarray(
-                [
-                    hws[i][0]
-                    / max(float(model_store[graph.get_node(nodes[idxs[i]]).payload.model_id].pixels_rows), 1.0)
-                    for i in range(len(idxs))
-                ],
-                np.float32,
-            )
-            colors, weights = _sample_cameras_kernel(
-                jnp.asarray(points, jnp.float32),
-                jnp.asarray(quats_all[idxs], jnp.float32),
-                jnp.asarray(poss_all[idxs], jnp.float32),
-                models,
-                jnp.asarray(stack),
-                jnp.asarray(np.asarray(hws, np.int32)),
-                jnp.asarray(scales),
-                jnp.ones(len(idxs), bool),
-                jnp.asarray(ctx.average_camera_elevation, jnp.float32),
-                K=len(idxs),
-            )
-            colors = np.array(np.asarray(colors)).reshape(len(idxs), th, tw, 3)
-            weights = (np.asarray(weights) * valid_z[None]).reshape(len(idxs), th, tw)
-
-            if correspondences is not None and len(idxs) >= 2:
-                # sample Lab correspondences where the top-2 layers overlap
-                wsort = np.argsort(-weights, axis=0)
-                a = wsort[0]
-                bb = wsort[1]
-                ii, jj = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
-                both = (
-                    (np.take_along_axis(weights, a[None], 0)[0] > 0)
-                    & (np.take_along_axis(weights, bb[None], 0)[0] > 0)
-                )
-                pick = np.argwhere(both)[::97]  # sparse sampling
-                for py, px in pick:
-                    ka, kb = a[py, px], bb[py, px]
-                    correspondences.append(
-                        ColorCorrespondence(
-                            camera_id_a=nodes[idxs[ka]], camera_id_b=nodes[idxs[kb]],
-                            model_id_a=graph.get_node(nodes[idxs[ka]]).payload.model_id,
-                            model_id_b=graph.get_node(nodes[idxs[kb]]).payload.model_id,
-                            lab_a=colors[ka, py, px], lab_b=colors[kb, py, px],
-                            normalized_radius_a=0.5, normalized_radius_b=0.5,
-                            view_angle_a=0.0, view_angle_b=0.0,
-                            normalized_x_a=0.0, normalized_y_a=0.0,
-                            normalized_x_b=0.0, normalized_y_b=0.0,
-                        )
-                    )
-                return None, None
-
-            # blend pass: apply color corrections, fill, Laplacian blend
-            if corrections is not None:
-                for i, ci in enumerate(idxs):
-                    cam_id = nodes[ci]
-                    params = corrections.per_image_params.get(cam_id)
-                    if params is not None:
-                        colors[i] = colors[i] - params.lab_offset[None, None, :]
-
-            w4 = weights[..., None]
-            filled = np.asarray(
-                pull_push_fill(jnp.asarray(colors), jnp.asarray(w4, jnp.float32))
-            )
-            blended = np.asarray(
-                laplacian_blend(
-                    jnp.asarray(filled), jnp.asarray(w4, jnp.float32),
-                    levels=min(blend_levels, max(1, int(math.log2(min(th, tw))) - 1)),
-                )
-            )
-            alpha = (weights.max(axis=0) > 0) & valid_z.reshape(th, tw)
-            lab8 = np.clip(blended, 0, 255).astype(np.uint8)
-            bgr = cv2.cvtColor(lab8, cv2.COLOR_Lab2BGR)
-            rgba = np.concatenate(
-                [bgr, np.where(alpha, 255, 0).astype(np.uint8)[..., None]], axis=2
-            )
-            return rgba, z.reshape(th, tw)
-
-        self._render_tile = render_tile
-        self._order = order
+        self._tile_cams = tile_cams
+        self._order = compute_cache_aware_tile_order(
+            tile_cams, tiles_x, tiles_y, cache_images
+        )
+        self._cache = FullResolutionImageCache(max_images=max(cache_images, self._kc))
+        self._quats_all = np.stack(
+            [np.asarray(graph.get_node(n).payload.orientation) for n in nodes]
+        )
+        self._poss_all = np.stack(
+            [np.asarray(graph.get_node(n).payload.position) for n in nodes]
+        )
         self._nodes = nodes
         self._bounds = b
         self._gsd = gsd
         self._width = width
         self._height = height
+        self._tiles_x = tiles_x
+        self._tiles_y = tiles_y
         self.ok = True
 
+    # -- layer store ------------------------------------------------------
+
+    def _store_tile(self, idx: int, layers: dict):
+        est_mb = sum(a.nbytes for a in layers.values()) / 1e6
+        if self._spill_dir is None and (
+            (len(self._layers) + 1) * est_mb > self.layer_store_limit_mb
+        ):
+            import tempfile
+
+            self._spill_dir = tempfile.mkdtemp(prefix="oc_tpu_layers_")
+            # move what's already in RAM to disk
+            for i, v in list(self._layers.items()):
+                if isinstance(v, dict):
+                    self._layers[i] = self._spill(i, v)
+        if self._spill_dir is not None:
+            self._layers[idx] = self._spill(idx, layers)
+        else:
+            self._layers[idx] = layers
+
+    def _spill(self, idx: int, layers: dict) -> str:
+        import os
+
+        path = os.path.join(self._spill_dir, f"tile_{idx}.npz")
+        np.savez(path, **layers)
+        return path
+
+    def _load_tile(self, idx: int) -> Optional[dict]:
+        v = self._layers.get(idx)
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return v
+        with np.load(v) as z:
+            return {k: z[k] for k in z.files}
+
+    def _cleanup_store(self):
+        self._layers.clear()
+        if self._spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(self._spill_dir, ignore_errors=True)
+            self._spill_dir = None
+
+    def __del__(self):
+        try:
+            self._cleanup_store()
+        except Exception:
+            pass
+
+    # -- pass 1: project + layer selection --------------------------------
+
+    def _load_lab(self, idx):
+        import cv2
+
+        node = self.graph.get_node(self._nodes[idx])
+        img = self._cache.get(node.payload.path)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
+
+    def _tile_paths(self, idx: int) -> List[str]:
+        return [
+            self.graph.get_node(self._nodes[ci]).payload.path
+            for ci in sorted(self._tile_cams[idx])
+        ]
+
+    def _project_tile(self, tx: int, ty: int) -> Optional[dict]:
+        """Render one tile's layer stack: per-pixel top-KMAX cameras.
+
+        The world grid always spans a full tile (static shapes, one XLA
+        compile); edge tiles are cropped at write time."""
+        ts = self.tile_size
+        b = self._bounds
+        gsd = self._gsd
+        graph, model_store, nodes = self.graph, self.model_store, self._nodes
+        x0, y0 = tx * ts, ty * ts
+        xs = b.min_x + gsd * (x0 + np.arange(ts))
+        ys = b.max_y - gsd * (y0 + np.arange(ts))
+        gx, gy = np.meshgrid(xs, ys)
+        flat_xy = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        z = self._ctx.mesh.interpolate_z(flat_xy)
+        valid_z = np.isfinite(z)
+        points = np.concatenate(
+            [flat_xy, np.where(valid_z, z, 0.0)[:, None]], axis=1
+        )
+
+        cams = sorted(self._tile_cams[ty * self._tiles_x + tx])
+        imgs, hws, idxs = [], [], []
+        for ci in cams:
+            lab = self._load_lab(ci)
+            if lab is None:
+                continue
+            imgs.append(lab)
+            hws.append(lab.shape[:2])
+            idxs.append(ci)
+        if not imgs:
+            return None
+        # pad the candidate set to the fixed KC so the kernel compiles once
+        kc = self._kc
+        while len(imgs) < kc:
+            imgs.append(np.zeros_like(imgs[0]))
+            hws.append((0, 0))
+            idxs.append(idxs[0])
+        valid_mask = np.asarray([h[0] > 0 for h in hws], bool)
+        Hm = max(i.shape[0] for i in imgs)
+        Wm = max(i.shape[1] for i in imgs)
+        stack = np.zeros((kc, Hm, Wm, 3), np.float32)
+        for i, im in enumerate(imgs):
+            stack[i, : im.shape[0], : im.shape[1]] = im
+        models = stack_cameras(
+            [
+                model_store[graph.get_node(nodes[i]).payload.model_id].astype(jnp.float32)
+                for i in idxs
+            ]
+        )
+        scales = np.asarray(
+            [
+                hws[i][0]
+                / max(float(model_store[graph.get_node(nodes[idxs[i]]).payload.model_id].pixels_rows), 1.0)
+                for i in range(kc)
+            ],
+            np.float32,
+        )
+        colors, weights, geom = _sample_cameras_kernel(
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(self._quats_all[idxs], jnp.float32),
+            jnp.asarray(self._poss_all[idxs], jnp.float32),
+            models,
+            jnp.asarray(stack),
+            jnp.asarray(np.asarray(hws, np.int32)),
+            jnp.asarray(scales),
+            jnp.asarray(valid_mask),
+            jnp.asarray(self._ctx.average_camera_elevation, jnp.float32),
+            jnp.asarray(gsd, jnp.float32),
+            taps=self.taps,
+        )
+        colors = np.asarray(colors)  # [KC, P, 3]
+        weights = np.asarray(weights) * valid_z[None]  # [KC, P]
+        geom = np.asarray(geom)  # [KC, P, 4]
+
+        # per-PIXEL top-KMAX camera selection from the full candidate set
+        kmax = min(MAX_CAMERAS_PER_PIXEL, kc)
+        sel = np.argsort(-weights, axis=0)[:kmax]  # [KMAX, P]
+        lcolors = np.take_along_axis(colors, sel[..., None], axis=0)
+        lweights = np.take_along_axis(weights, sel, axis=0)
+        lgeom = np.take_along_axis(geom, sel[..., None], axis=0)
+        lcam = np.asarray(idxs, np.int32)[sel]  # node-list index per sample
+        return dict(
+            colors=lcolors.astype(np.float16),
+            weights=lweights.astype(np.float16),
+            geom=lgeom.astype(np.float16),
+            cam=lcam,
+            z=np.where(valid_z, z, np.nan).astype(np.float32),
+        )
+
     def pass_layers(self):
-        """GENERATE_LAYERS: render every tile, collect Lab correspondences."""
+        """GENERATE_LAYERS: render every tile once, store its layer stack,
+        collect Lab correspondences with real radiometric geometry."""
         if not self.ok:
             return False
         self.correspondences = []
-        for tx, ty in self._order:
-            self._render_tile(tx, ty, correspondences=self.correspondences)
+        import concurrent.futures
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        try:
+            for i, (tx, ty) in enumerate(self._order):
+                if i + 1 < len(self._order):
+                    nx_, ny_ = self._order[i + 1]
+                    self._cache.prefetch(
+                        self._tile_paths(ny_ * self._tiles_x + nx_), pool=pool
+                    )
+                idx = ty * self._tiles_x + tx
+                layers = self._project_tile(tx, ty)
+                if layers is None:
+                    continue
+                self._store_tile(idx, layers)
+                self._collect_correspondences(layers)
+        finally:
+            pool.shutdown(wait=False)
         return True
+
+    def _collect_correspondences(self, layers: dict, stride: int = 97):
+        """Lab correspondences where the two strongest layers overlap
+        (reference ortho.cpp:1324-1418), carrying each sample's real
+        normalized radius / view angle / normalized xy so vignetting,
+        BRDF and slope are identifiable in the color-balance solve."""
+        w = layers["weights"].astype(np.float32)
+        if w.shape[0] < 2:
+            return
+        both = (w[0] > 0) & (w[1] > 0)
+        pick = np.flatnonzero(both)[::stride]
+        if len(pick) == 0:
+            return
+        colors = layers["colors"].astype(np.float32)
+        geom = layers["geom"].astype(np.float32)
+        cam = layers["cam"]
+        graph, nodes = self.graph, self._nodes
+        for p in pick:
+            ia, ib = int(cam[0, p]), int(cam[1, p])
+            ga, gb = geom[0, p], geom[1, p]
+            self.correspondences.append(
+                ColorCorrespondence(
+                    camera_id_a=nodes[ia], camera_id_b=nodes[ib],
+                    model_id_a=graph.get_node(nodes[ia]).payload.model_id,
+                    model_id_b=graph.get_node(nodes[ib]).payload.model_id,
+                    lab_a=colors[0, p], lab_b=colors[1, p],
+                    normalized_radius_a=float(ga[0]), normalized_radius_b=float(gb[0]),
+                    view_angle_a=float(ga[1]), view_angle_b=float(gb[1]),
+                    normalized_x_a=float(ga[2]), normalized_y_a=float(ga[3]),
+                    normalized_x_b=float(gb[2]), normalized_y_b=float(gb[3]),
+                )
+            )
 
     def solve_balance(self):
         """COLOR_BALANCE: solve radiometric parameters."""
@@ -608,34 +759,91 @@ class OrthoJob:
         self.balance = solve_color_balance(self.correspondences, cam_positions)
         return True
 
-    def pass_blend(self, path: str) -> bool:
-        """BLEND_LAYERS: corrected render + Laplacian blend + GeoTIFF write."""
+    # -- pass 2: correct + blend + stream-write ---------------------------
+
+    def _correction_tables(self):
+        """Per-node-index correction arrays for vectorized application."""
+        n = len(self._nodes)
+        off = np.zeros((n, 3))
+        brdf = np.zeros(n)
+        slope = np.zeros((n, 2))
+        vig = np.zeros((n, 3))
+        if self.balance is not None and self.balance.success:
+            for i, nid in enumerate(self._nodes):
+                p = self.balance.per_image_params.get(nid)
+                if p is not None:
+                    off[i] = p.lab_offset
+                    brdf[i] = p.brdf_coeff
+                    slope[i] = p.slope
+                mid = self.graph.get_node(nid).payload.model_id
+                v = self.balance.per_model_vignetting.get(mid)
+                if v is not None:
+                    vig[i] = v
+        return off, brdf, slope, vig
+
+    def _blend_tile(self, layers: dict, th: int, tw: int, tables) -> np.ndarray:
+        """Correct + sigmoid-transition-weight + fill + Laplacian blend one
+        tile; returns RGBA [th, tw, 4]."""
+        import cv2
+
+        ts = self.tile_size
+        off, brdf, slope, vig = tables
+        colors = layers["colors"].astype(np.float32)  # [K, P, 3]
+        weights = layers["weights"].astype(np.float32)  # [K, P]
+        geom = layers["geom"].astype(np.float32)
+        cam = layers["cam"]  # [K, P]
+
+        # full radiometric correction per sample (reference ortho.cpp:1839-1875)
+        r2 = geom[..., 0].astype(np.float64) ** 2
+        theta = geom[..., 1]
+        colors -= off[cam]
+        v = vig[cam]
+        colors[..., 0] -= (
+            v[..., 0] * r2 + v[..., 1] * r2**2 + v[..., 2] * r2**3
+            + brdf[cam] * theta * theta
+            + slope[cam][..., 0] * geom[..., 2]
+            + slope[cam][..., 1] * geom[..., 3]
+        ).astype(np.float32)
+
+        # sigmoid transition vs the per-pixel best layer
+        # (reference blend_transition_radius, ortho.cpp:1839-1875)
+        raw = weights
+        wbest = raw[0:1]  # layers sorted by weight desc
+        trans = np.asarray(
+            sigmoid_transition_weight(
+                jnp.asarray(raw), jnp.asarray(wbest), self.blend_transition
+            )
+        )
+        weights = raw * trans
+
+        K = colors.shape[0]
+        colors = colors.reshape(K, ts, ts, 3)
+        w4 = weights.reshape(K, ts, ts, 1)
+        filled = np.asarray(
+            pull_push_fill(jnp.asarray(colors), jnp.asarray(w4, jnp.float32))
+        )
+        blended = np.asarray(
+            laplacian_blend(
+                jnp.asarray(filled), jnp.asarray(w4, jnp.float32),
+                levels=min(self.blend_levels, max(1, int(math.log2(ts)) - 1)),
+            )
+        )
+        alpha = (raw.reshape(K, ts, ts).max(axis=0) > 0)
+        lab8 = np.clip(blended, 0, 255).astype(np.uint8)
+        bgr = cv2.cvtColor(lab8, cv2.COLOR_Lab2BGR)
+        rgba = np.concatenate(
+            [bgr, np.where(alpha, 255, 0).astype(np.uint8)[..., None]], axis=2
+        )
+        return rgba[:th, :tw]
+
+    def pass_blend(self, path: str, camera_id_path: Optional[str] = None) -> bool:
+        """BLEND_LAYERS: correct stored layers, blend, stream tiles into a
+        tiled GeoTIFF (+ optional camera-id sidecar). Peak memory is one
+        tile + overview accumulators — never the full mosaic
+        (reference streams tiles through GDAL, ortho.cpp:1665-2050)."""
         if not self.ok:
             return False
-        out = np.zeros((self._height, self._width, 4), np.uint8)
-        for k, (tx, ty) in enumerate(self._order):
-            rgba, _ = self._render_tile(tx, ty, corrections=self.balance)
-            x0, y0 = tx * self.tile_size, ty * self.tile_size
-            out[y0 : y0 + rgba.shape[0], x0 : x0 + rgba.shape[1]] = rgba
-            if self.tile_callback is not None:
-                import base64
-
-                import cv2
-
-                small = cv2.resize(rgba, (64, 64), interpolation=cv2.INTER_AREA)
-                ok_png, buf = cv2.imencode(".png", small)
-                self.tile_callback(
-                    dict(
-                        tile_x=tx, tile_y=ty,
-                        num_tiles_x=(self._width + self.tile_size - 1) // self.tile_size,
-                        num_tiles_y=(self._height + self.tile_size - 1) // self.tile_size,
-                        fraction_done=(k + 1) / max(len(self._order), 1),
-                        png_base64=base64.b64encode(buf.tobytes()).decode("ascii")
-                        if ok_png else None,
-                    )
-                )
-
-        from opencalibration_tpu.io.geotiff import write_geotiff
+        from opencalibration_tpu.io.geotiff import GeoTiffTileWriter
 
         b = self._bounds
         wkt = (
@@ -643,7 +851,74 @@ class OrthoJob:
             if self.geocoord is not None and self.geocoord.is_initialized()
             else None
         )
-        write_geotiff(path, out, (b.min_x, b.max_y), (self._gsd, self._gsd), wkt=wkt, overviews=3)
+        tables = self._correction_tables()
+        writer = GeoTiffTileWriter(
+            path, self._width, self._height, 4, np.uint8,
+            (b.min_x, b.max_y), (self._gsd, self._gsd),
+            tile_size=self.tile_size, wkt=wkt, overviews=3,
+        )
+        cam_writer = None
+        if camera_id_path:
+            cam_writer = GeoTiffTileWriter(
+                camera_id_path, self._width, self._height, 2, np.uint32,
+                (b.min_x, b.max_y), (self._gsd, self._gsd),
+                tile_size=self.tile_size, wkt=wkt,
+            )
+        ts = self.tile_size
+        try:
+            for k, (tx, ty) in enumerate(self._order):
+                idx = ty * self._tiles_x + tx
+                layers = self._load_tile(idx)
+                tw = min(ts, self._width - tx * ts)
+                th = min(ts, self._height - ty * ts)
+                if layers is None:
+                    rgba = np.zeros((th, tw, 4), np.uint8)
+                else:
+                    rgba = self._blend_tile(layers, th, tw, tables)
+                writer.write_tile(tx, ty, rgba)
+                if cam_writer is not None:
+                    if layers is None:
+                        ids = np.zeros((th, tw), np.uint64)
+                    else:
+                        best = layers["cam"][0].reshape(ts, ts)[:th, :tw]
+                        covered = rgba[:, :, 3] == 255
+                        ids = np.where(
+                            covered,
+                            np.asarray(self._nodes, np.uint64)[best],
+                            np.uint64(0),
+                        )
+                    cam_writer.write_tile(
+                        tx, ty,
+                        np.stack(
+                            [
+                                (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                                (ids >> np.uint64(32)).astype(np.uint32),
+                            ],
+                            axis=2,
+                        ),
+                    )
+                if self.tile_callback is not None:
+                    import base64
+
+                    import cv2
+
+                    small = cv2.resize(rgba, (64, 64), interpolation=cv2.INTER_AREA)
+                    ok_png, buf = cv2.imencode(".png", small)
+                    self.tile_callback(
+                        dict(
+                            tile_x=tx, tile_y=ty,
+                            num_tiles_x=self._tiles_x,
+                            num_tiles_y=self._tiles_y,
+                            fraction_done=(k + 1) / max(len(self._order), 1),
+                            png_base64=base64.b64encode(buf.tobytes()).decode("ascii")
+                            if ok_png else None,
+                        )
+                    )
+        finally:
+            writer.close()
+            if cam_writer is not None:
+                cam_writer.close()
+            self._cleanup_store()
         return True
 
 
@@ -651,6 +926,7 @@ def generate_ortho_geotiff(
     path: str, surfaces, graph, model_store, geocoord=None,
     max_megapixels: float = 64.0, tile_size: int = DEFAULT_TILE,
     cache_images: int = 16, blend_levels: int = 4,
+    camera_id_path: Optional[str] = None,
 ) -> bool:
     job = OrthoJob(
         surfaces, graph, model_store, geocoord, max_megapixels,
@@ -660,7 +936,7 @@ def generate_ortho_geotiff(
         return False
     job.pass_layers()
     job.solve_balance()
-    return job.pass_blend(path)
+    return job.pass_blend(path, camera_id_path=camera_id_path)
 
 
 def generate_textured_obj(

@@ -48,6 +48,58 @@ def test_geotiff_readable_by_opencv(tmp_path):
     np.testing.assert_array_equal(back[..., ::-1], img)
 
 
+def test_geotiff_tile_writer_streaming(tmp_path):
+    """Tiles written incrementally in arbitrary order round-trip exactly,
+    including overviews, and OpenCV can open the file."""
+    import cv2
+
+    from opencalibration_tpu.io.geotiff import (
+        GeoTiffTileWriter,
+        read_geotiff,
+        read_geotiff_overviews,
+    )
+
+    rng = np.random.default_rng(7)
+    H, W, ts = 300, 420, 128
+    img = rng.integers(0, 255, (H, W, 4), dtype=np.uint8)
+    path = str(tmp_path / "tiled.tif")
+    w = GeoTiffTileWriter(
+        path, W, H, 4, np.uint8, (5.0, 9.0), (0.5, 0.5),
+        tile_size=ts, wkt='PROJCS["t"]', overviews=2,
+    )
+    tiles = [(tx, ty) for ty in range(w.tiles_y) for tx in range(w.tiles_x)]
+    rng.shuffle(tiles)  # cache-aware orders are not raster order
+    for tx, ty in tiles:
+        x0, y0 = tx * ts, ty * ts
+        w.write_tile(tx, ty, img[y0 : y0 + ts, x0 : x0 + ts])
+    w.close()
+
+    back, origin, px, wkt = read_geotiff(path)
+    np.testing.assert_array_equal(back, img)
+    assert origin == (5.0, 9.0) and px == (0.5, 0.5) and wkt == 'PROJCS["t"]'
+    shapes = read_geotiff_overviews(path)
+    assert shapes == [(H, W), (H // 2, W // 2), (H // 4, W // 4)]
+    assert cv2.imread(path, cv2.IMREAD_UNCHANGED) is not None
+
+
+def test_geotiff_tile_writer_uint32_camera_ids(tmp_path):
+    """Camera-id sidecar: uint32 2-band tiled raster round-trips 64-bit ids
+    (the reference round-trips uint64 camera ids through GeoTIFF sidecars,
+    test_ortho_functional.cpp)."""
+    from opencalibration_tpu.io.geotiff import GeoTiffTileWriter, read_geotiff
+
+    ids = np.array([[2**40 + 17, 0], [123456789012345, 2**63 - 1]], np.uint64)
+    lo = (ids & 0xFFFFFFFF).astype(np.uint32)
+    hi = (ids >> 32).astype(np.uint32)
+    path = str(tmp_path / "camids.tif")
+    w = GeoTiffTileWriter(path, 2, 2, 2, np.uint32, (0, 0), (1, 1), tile_size=16)
+    w.write_tile(0, 0, np.stack([lo, hi], axis=2))
+    w.close()
+    back, *_ = read_geotiff(path)
+    rec = back[:, :, 0].astype(np.uint64) | (back[:, :, 1].astype(np.uint64) << 32)
+    np.testing.assert_array_equal(rec, ids)
+
+
 def test_hilbert_order_is_permutation_and_local():
     from opencalibration_tpu.ortho.tile_ordering import hilbert_tile_order
 
@@ -176,6 +228,218 @@ def test_color_balance_recovers_offsets():
         res.per_image_params[0].lab_offset[0] + res.per_image_params[1].lab_offset[0]
     )
     assert abs(mean_L) < 2.0
+
+
+def _nadir_sample(points, cam_pos, model, image, taps, gsd):
+    """Single nadir camera helper around _sample_cameras_kernel."""
+    from opencalibration_tpu.ortho.ortho import _sample_cameras_kernel
+    from opencalibration_tpu.types.camera import stack_cameras
+
+    DOWN = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    colors, weights, geom = _sample_cameras_kernel(
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(DOWN[None]),
+        jnp.asarray(np.asarray(cam_pos, np.float32)[None]),
+        stack_cameras([model]),
+        jnp.asarray(image[None].astype(np.float32)),
+        jnp.asarray(np.asarray([image.shape[:2]], np.int32)),
+        jnp.asarray(np.ones(1, np.float32)),
+        jnp.ones(1, bool),
+        jnp.asarray(50.0, jnp.float32),
+        jnp.asarray(gsd, jnp.float32),
+        taps=taps,
+    )
+    return np.asarray(colors)[0], np.asarray(weights)[0], np.asarray(geom)[0]
+
+
+def test_anisotropic_sampling_antialiases_checkerboard():
+    """Jacobian-footprint supersampling (reference PatchSampler,
+    ortho.cpp:69-222): when one output pixel spans many source pixels, the
+    taps>1 render must approach the brute-force supersampled mean where a
+    single bilinear tap aliases."""
+    from opencalibration_tpu.types.camera import CameraModel
+
+    W, H, F = 320, 240, 400.0
+    model = CameraModel.create(F, (W / 2, H / 2), pixels_cols=W, pixels_rows=H)
+    # 2px checkerboard: mean = 127.5, single taps land near 0 or 255
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    checker = (((xx // 2) + (yy // 2)) % 2 * 255).astype(np.float32)
+    image = np.repeat(checker[:, :, None], 3, axis=2)
+
+    cam_pos = np.array([0.0, 0.0, 50.0])
+    # source px footprint on ground = z/f = 0.125 m; gsd = 1 m -> 8x8 px
+    gsd = 1.0
+    n = 24
+    gx, gy = np.meshgrid(
+        (np.arange(n) - n / 2) * gsd, (np.arange(n) - n / 2) * gsd
+    )
+    points = np.stack([gx.ravel(), gy.ravel(), np.zeros(n * n)], axis=1)
+
+    c1, w1, _ = _nadir_sample(points, cam_pos, model, image, 1, gsd)
+    c5, w5, _ = _nadir_sample(points, cam_pos, model, image, 5, gsd)
+
+    # brute-force supersampling reference: 16x16 world-space sub-samples
+    s = 16
+    off = (np.arange(s) + 0.5) / s - 0.5
+    ou, ov = np.meshgrid(off * gsd, off * gsd)
+    subs = []
+    for du, dv in zip(ou.ravel(), ov.ravel()):
+        sub = points.copy()
+        sub[:, 0] += du
+        sub[:, 1] += dv
+        cs, _, _ = _nadir_sample(sub, cam_pos, model, image, 1, gsd)
+        subs.append(cs)
+    truth = np.mean(subs, axis=0)
+
+    got = w1 > 0
+    assert got.sum() > 100
+    err1 = np.abs(c1[got, 0] - truth[got, 0]).mean()
+    err5 = np.abs(c5[got, 0] - truth[got, 0]).mean()
+    assert err5 < 12.0, f"anisotropic render should match supersampling, err={err5}"
+    assert err5 < err1 / 4, f"taps=5 ({err5}) must beat taps=1 ({err1}) by >4x"
+
+
+def _vignetted_survey(tmp_path):
+    """Tiny nadir survey over flat ground with radial vignetting baked
+    into otherwise-uniform images; returns (surfaces, graph, model_store,
+    vig_l_drop) ready for OrthoJob."""
+    import cv2
+
+    from opencalibration_tpu.surface.mesh import build_minimal_mesh
+    from opencalibration_tpu.types.camera import CameraModel
+    from opencalibration_tpu.types.graph import (
+        ImageNode,
+        MeasurementGraph,
+        SurfaceModel,
+    )
+
+    W, H, F, ALT = 320, 240, 200.0, 40.0
+    VIG = 25.0  # L drop at normalized radius 1
+    model = CameraModel.create(F, (W / 2, H / 2), pixels_cols=W, pixels_rows=H)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    r2 = ((xx - W / 2) ** 2 + (yy - H / 2) ** 2) / (0.25 * (W**2 + H**2))
+    lab = np.zeros((H, W, 3), np.uint8)
+    lab[..., 0] = np.clip(150.0 - VIG * r2, 0, 255).astype(np.uint8)
+    lab[..., 1] = 128
+    lab[..., 2] = 128
+    bgr = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+
+    DOWN = np.array([0.0, 1.0, 0.0, 0.0])
+    graph = MeasurementGraph()
+    positions = []
+    for r in range(2):
+        for c in range(3):
+            pos = np.array([c * 18.0, r * 18.0, ALT])
+            positions.append(pos)
+            path = str(tmp_path / f"img_{r}_{c}.png")
+            cv2.imwrite(path, bgr)
+            graph.add_node(
+                ImageNode(
+                    path=path, model_id=0, position=pos, orientation=DOWN.copy()
+                )
+            )
+    mesh = build_minimal_mesh(
+        np.asarray(positions), prior_z_points=np.zeros((4, 3))
+    )
+    surfaces = [SurfaceModel(cloud=[], mesh=mesh)]
+    return surfaces, graph, {0: model}, VIG
+
+
+def test_color_balance_recovers_injected_vignetting(tmp_path):
+    """End-to-end radiometric geometry: pass_layers records real
+    per-sample radius/angle/xy (reference ortho.cpp:1324-1418), so the
+    color-balance solve can explain an injected radial L falloff — the
+    correction must flatten correspondence mismatches and reproduce the
+    injected polynomial's magnitude."""
+    from opencalibration_tpu.ortho.ortho import OrthoJob
+
+    surfaces, graph, model_store, vig_true = _vignetted_survey(tmp_path)
+    job = OrthoJob(
+        surfaces, graph, model_store, max_megapixels=1.0, taps=1
+    )
+    assert job.ok
+    assert job.pass_layers()
+    corrs = job.correspondences
+    assert len(corrs) > 50
+    # the correspondences must carry non-degenerate geometry
+    radii = np.asarray([c.normalized_radius_a for c in corrs])
+    assert radii.std() > 0.05 and radii.max() > 0.4
+    assert job.solve_balance()
+    bal = job.balance
+    assert bal.success
+
+    # residual mismatch between paired observations collapses after correction
+    def mismatch(c, corrected):
+        la, lb = float(c.lab_a[0]), float(c.lab_b[0])
+        if corrected:
+            pa = bal.per_image_params[c.camera_id_a]
+            pb = bal.per_image_params[c.camera_id_b]
+            va = bal.per_model_vignetting[c.model_id_a]
+            vb = bal.per_model_vignetting[c.model_id_b]
+            r2a, r2b = c.normalized_radius_a**2, c.normalized_radius_b**2
+            la -= (
+                pa.lab_offset[0]
+                + va[0] * r2a + va[1] * r2a**2 + va[2] * r2a**3
+                + pa.brdf_coeff * c.view_angle_a**2
+                + pa.slope[0] * c.normalized_x_a + pa.slope[1] * c.normalized_y_a
+            )
+            lb -= (
+                pb.lab_offset[0]
+                + vb[0] * r2b + vb[1] * r2b**2 + vb[2] * r2b**3
+                + pb.brdf_coeff * c.view_angle_b**2
+                + pb.slope[0] * c.normalized_x_b + pb.slope[1] * c.normalized_y_b
+            )
+        return abs(la - lb)
+
+    before = np.mean([mismatch(c, False) for c in corrs])
+    after = np.mean([mismatch(c, True) for c in corrs])
+    assert before > 2.0  # vignetting creates real mismatch
+    assert after < 0.35 * before, f"correction must flatten L: {before} -> {after}"
+
+    # combined radial correction (vignetting polynomial + BRDF term, which
+    # are collinear for a nadir survey) reproduces the injected falloff
+    vig = bal.per_model_vignetting[0]
+    brdf = np.mean([p.brdf_coeff for p in bal.per_image_params.values()])
+    W, H, F = 320.0, 240.0, 200.0
+    half_diag = 0.5 * np.hypot(W, H)
+    for r in (0.5, 0.8):
+        theta = np.arctan2(r * half_diag, F)
+        pred = (
+            vig[0] * r**2 + vig[1] * r**4 + vig[2] * r**6 + brdf * theta**2
+        )
+        injected = -vig_true * r**2
+        assert abs(pred - injected) < 0.5 * abs(injected), (
+            f"r={r}: predicted {pred}, injected {injected}"
+        )
+
+
+def test_ortho_streaming_blend_with_spill_and_camera_ids(tmp_path):
+    """Blend pass streams tiles (layer store spilled to disk, forced) and
+    emits the camera-id sidecar raster (reference ortho.cpp:1465-1640)."""
+    from opencalibration_tpu.io.geotiff import read_geotiff
+    from opencalibration_tpu.ortho.ortho import OrthoJob
+
+    surfaces, graph, model_store, _ = _vignetted_survey(tmp_path)
+    job = OrthoJob(
+        surfaces, graph, model_store, max_megapixels=1.0, taps=1,
+        layer_store_limit_mb=1.0,  # force spill-to-disk immediately
+    )
+    assert job.ok
+    assert job.pass_layers()
+    assert job._spill_dir is not None, "layer store should have spilled"
+    assert job.solve_balance()
+    out = str(tmp_path / "o.tif")
+    camids = str(tmp_path / "o_camids.tif")
+    assert job.pass_blend(out, camera_id_path=camids)
+    assert job._spill_dir is None  # cleaned up
+
+    img, origin, px, _ = read_geotiff(out)
+    assert img.shape[2] == 4 and (img[:, :, 3] == 255).mean() > 0.1
+    ids, *_ = read_geotiff(camids)
+    rec = ids[:, :, 0].astype(np.uint64) | (ids[:, :, 1].astype(np.uint64) << 32)
+    covered = img[:, :, 3] == 255
+    node_ids = set(int(i) for i in np.unique(rec[covered]))
+    assert node_ids and node_ids.issubset({int(n) for n in graph.node_ids()})
 
 
 @pytest.fixture(scope="module")
