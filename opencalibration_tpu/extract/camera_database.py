@@ -40,6 +40,14 @@ class CameraDBEntry:
     notes: str = ""
 
 
+def default_database_path() -> str:
+    """Path of the bundled intrinsics-prior database
+    (reference data/camera_database.json, v1 schema)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "data", "camera_database.json")
+
+
 class CameraDatabase:
     """Thread-safe singleton-style database (instantiable for tests)."""
 
@@ -52,8 +60,12 @@ class CameraDatabase:
 
     @classmethod
     def instance(cls) -> "CameraDatabase":
+        """Process-wide database, primed with the bundled priors file on
+        first use (reference bundles data/camera_database.json and
+        compiles its path in, CMakeLists.txt:106-109)."""
         if cls._instance is None:
             cls._instance = CameraDatabase()
+            cls._instance.load(default_database_path())
         return cls._instance
 
     def load(self, path: str) -> bool:
