@@ -17,7 +17,7 @@ gate, appending the merged cloud to surfaces[0]
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,18 @@ MAX_CANDIDATE_IMAGES = 10
 MAX_ABSOLUTE_DESCRIPTOR_DISTANCE = 0.35
 MAX_REPROJECTION_ERROR_PIXELS = 8.0
 MAX_TRACK_RAYS = 8
+
+# dense feature budget: the reference extracts one big AKAZE set and
+# splits it into sparse (NMS survivors, used for linking) and dense
+# (everything else, used only by densifyMesh) — extract_features.cpp:62-83.
+# Here the linking path keeps its small memory footprint and the dense set
+# is re-extracted on demand at DENSIFY time with a larger budget + lower
+# detector threshold (the extractor is a batched device kernel, so the
+# re-extract is cheap relative to carrying 8k descriptors per image
+# through the whole pipeline and its serialization).
+DENSE_MAX_FEATURES = 8192
+DENSE_THRESHOLD_SCALE = 0.2  # x the sparse detector threshold
+DENSE_EXTRACT_BATCH = 16
 
 
 class UnionFind:
@@ -81,7 +93,71 @@ def _gated_match(desc1, xy1, valid1, desc2, xy2, valid2, predicted_xy):
     return idx, best, good
 
 
-def densify_mesh(graph, model_store, surfaces) -> int:
+def extract_dense_featuresets(
+    graph,
+    nodes,
+    max_features: int = DENSE_MAX_FEATURES,
+    batch: int = DENSE_EXTRACT_BATCH,
+):
+    """Re-decode + re-extract a dense feature set per image
+    (reference extract_features.cpp:62-83 dense split, consumed by
+    dense_stereo.cpp:50-54). Feature sets are padded to one common count
+    (rounded up to 512) so every pair's gated match compiles once.
+
+    Returns {node_id: FeatureSet}; images that fail to decode are skipped
+    (caller falls back to the sparse set)."""
+    import concurrent.futures
+
+    from opencalibration_tpu.extract.image_loader import (
+        features_from_device,
+        load_and_decode,
+        pad_gray_batch,
+    )
+    from opencalibration_tpu.ops import features as F
+
+    threshold = F.DETECTOR_THRESHOLD * DENSE_THRESHOLD_SCALE
+    raw: Dict[int, object] = {}
+    for c0 in range(0, len(nodes), batch):
+        chunk = nodes[c0 : c0 + batch]
+        paths = [graph.get_node(nid).payload.path for nid in chunk]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            decoded = list(ex.map(load_and_decode, paths))
+        good = [(nid, d) for nid, d in zip(chunk, decoded) if d is not None]
+        if not good:
+            continue
+        gray_batch, sizes = pad_gray_batch([d.gray for _, d in good])
+        out = F.extract_features(
+            jnp.asarray(gray_batch), max_features=max_features, threshold=threshold
+        )
+        for i, (nid, d) in enumerate(good):
+            raw[nid] = features_from_device(out, i, d.scale, sizes[i], max_features)
+    if not raw:
+        return {}
+    # pad to a common count so the matcher compiles once
+    cap = max(len(f.xy) for f in raw.values())
+    cap = min(max_features, ((cap + 511) // 512) * 512)
+    for nid, f in raw.items():
+        n = len(f.xy)
+        if n < cap:
+            f.xy = np.concatenate([f.xy, np.full((cap - n, 2), 1e9)])
+            f.strength = np.concatenate([f.strength, np.zeros(cap - n, np.float32)])
+            f.descriptors = np.concatenate(
+                [f.descriptors, np.zeros((cap - n,) + f.descriptors.shape[1:],
+                                         f.descriptors.dtype)]
+            )
+            f.valid = np.concatenate([f.valid, np.zeros(cap - n, bool)])
+        elif n > cap:
+            f.xy, f.strength = f.xy[:cap], f.strength[:cap]
+            f.descriptors, f.valid = f.descriptors[:cap], f.valid[:cap]
+    return raw
+
+
+def densify_mesh(
+    graph, model_store, surfaces,
+    dense_features: Optional[Dict[int, object]] = None,
+    use_dense_extraction: bool = True,
+    dense_max_features: int = DENSE_MAX_FEATURES,
+) -> int:
     """Densify: returns the number of new 3d points appended."""
     mesh = None
     for s in surfaces:
@@ -111,9 +187,17 @@ def densify_mesh(graph, model_store, surfaces) -> int:
     observations: List[tuple] = []  # (node_id, feat_idx)
     uf_edges: List[tuple] = []
 
+    if dense_features is None and use_dense_extraction:
+        dense_features = extract_dense_featuresets(
+            graph, nodes, max_features=dense_max_features
+        )
+
     def feats_of(nid):
-        f = graph.get_node(nid).payload.features
-        return f
+        if dense_features:
+            f = dense_features.get(nid)
+            if f is not None:
+                return f
+        return graph.get_node(nid).payload.features
 
     for nid in nodes:
         fa = feats_of(nid)
@@ -221,7 +305,7 @@ def densify_mesh(graph, model_store, surfaces) -> int:
         for k, (nid, fi) in enumerate(items):
             dirs[ti, k] = node_world_rays[nid][fi]
             origins[ti, k] = positions[nid]
-            pix[ti, k] = graph.get_node(nid).payload.features.xy[fi]
+            pix[ti, k] = feats_of(nid).xy[fi]
             valid[ti, k] = True
 
     pts, msd = triangulate_tracks(

@@ -206,12 +206,31 @@ def hessian_response(L, sigmas):
     return jax.vmap(one_level)(L, sigmas)
 
 
+# TPU top-k recall: 1.0 keeps the fast PartialReduce algorithm (still much
+# faster than the sort-based top_k on large response vectors) while
+# returning the EXACT top-k set, preserving the reference's
+# reproducibility contract across backends (README.md:7; a 0.95 recall
+# would silently drop ~5% of true candidates on TPU only). Lower it via
+# set_topk_recall() to trade determinism for a little more speed.
+_TOPK_RECALL = 1.0
+
+
+def set_topk_recall(recall: float):
+    global _TOPK_RECALL
+    _TOPK_RECALL = float(recall)
+    jax.clear_caches()
+
+
 def _topk_scores(flat, k):
     if jax.default_backend() == "tpu":
-        # exact top_k sorts the full response vector per image and dominates
-        # extraction time; the TPU's approx_max_k hardware path is ~10x
-        # faster and NMS already de-duplicates candidates
-        return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+        vals, idxs = jax.lax.approx_max_k(flat, k, recall_target=_TOPK_RECALL)
+        # approx_max_k's output order is implementation-defined: re-sort by
+        # (-value, index) so downstream candidate ordering is deterministic
+        order = jnp.lexsort((idxs, -vals), axis=-1)
+        return (
+            jnp.take_along_axis(vals, order, axis=-1),
+            jnp.take_along_axis(idxs, order, axis=-1),
+        )
     return jax.lax.top_k(flat, k)
 
 
@@ -485,15 +504,18 @@ def describe(images, det, patch_scale: float = PATCH_RADIUS_SIGMAS):
 
 
 @functools.partial(jax.jit, static_argnames=("max_features", "diffusion"))
-def extract_features(images, max_features: int = 4096, diffusion: str = "gaussian"):
+def extract_features(images, max_features: int = 4096, diffusion: str = "gaussian",
+                     threshold: float = DETECTOR_THRESHOLD):
     """Full extraction: detect + describe. [B, H, W] float in [0, 1].
 
     Returns dict(xy, strength, sigma, valid, angle, descriptors[uint32]).
     The sparse/dense split of the reference (extract_features.cpp:62-83) is
     a downstream masked selection via ops.spatial.nms_radius +
-    top_k_by_strength.
+    top_k_by_strength; a lower `threshold` + larger `max_features` yields
+    the dense sets consumed by densification (dense_stereo.cpp:50-54).
     """
-    det = detect(images, max_features=max_features, diffusion=diffusion)
+    det = detect(images, max_features=max_features, diffusion=diffusion,
+                 threshold=threshold)
     desc, angle = describe(images, det)
     return dict(
         xy=det["xy"],
