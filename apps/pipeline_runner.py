@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("-m", "--mesh-file", default=None, help="Output mesh PLY")
     p.add_argument("-o", "--geotiff-file", default=None, help="Output orthomosaic GeoTIFF")
     p.add_argument("--dsm-file", default=None, help="Output DSM GeoTIFF")
+    p.add_argument("--camera-id-file", default=None,
+                   help="Output camera-id sidecar GeoTIFF (uint64 node ids as 2x uint32 bands)")
     p.add_argument("-x", "--textured-mesh-file", default=None, help="Output textured OBJ")
     p.add_argument("-t", "--thumbnail-file", default=None, help="Output thumbnail image")
 
@@ -89,6 +91,7 @@ def main(argv=None) -> int:
     pipeline = Pipeline(batch_size=args.batch_size)
     pipeline.ortho_path = args.geotiff_file
     pipeline.dsm_path = args.dsm_file
+    pipeline.camera_id_path = args.camera_id_file
     pipeline.thumbnail_path = args.thumbnail_file
     if args.textured_mesh_file:
         pipeline.textured_obj_prefix = args.textured_mesh_file.removesuffix(".obj")

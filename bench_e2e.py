@@ -1,0 +1,103 @@
+"""End-to-end pipeline benchmark at BASELINE.md survey scales.
+
+Runs the REAL pipeline (LoadStage decode -> batched extraction -> link ->
+spectral-group batched relax -> camera-parameter relax -> final relax) on
+a synthetic survey written to disk, and reports:
+
+  * images/sec end-to-end (the BASELINE.md operational metric)
+  * LM iterations/sec inside relax (bundle adjustment)
+  * per-state wall-time breakdown
+
+Usage: python bench_e2e.py [n_images ...]     (default: 100 1000)
+
+bench.py remains the driver's one-line contract; this script documents
+the at-scale numbers recorded in BASELINE.md / BENCH_NOTES.md.
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def run_config(n_images: int, batch_size: int = 64) -> dict:
+    from opencalibration_tpu.pipeline.pipeline import Pipeline
+    from opencalibration_tpu.utils.performance import (
+        enable_performance_counters,
+        get_event_count,
+        get_timer_total,
+        reset_performance_counters,
+        total_performance_summary,
+    )
+    from tests.synthetic_survey import write_survey
+
+    rows = max(2, int(np.sqrt(n_images / 1.5)))
+    cols = max(2, (n_images + rows - 1) // rows)
+    tmpdir = tempfile.mkdtemp(prefix=f"bench_e2e_{n_images}_")
+    t0 = time.perf_counter()
+    paths, positions, quats = write_survey(tmpdir, rows=rows, cols=cols)
+    gen_s = time.perf_counter() - t0
+    n = len(paths)
+
+    enable_performance_counters(True)
+    reset_performance_counters()
+    p = Pipeline(batch_size=batch_size, parallelism=16)
+    p.generate_thumbnails = False
+    p.skip_dense_mesh = True
+    p.add(paths)
+
+    t0 = time.perf_counter()
+    # run through FINAL_GLOBAL_RELAX; stop before the (disabled) ortho tail
+    for _ in range(100000):
+        state = p.iterate_once()
+        if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
+            break
+    wall = time.perf_counter() - t0
+
+    lm_iters = get_event_count("lm iterations")
+    relax_wall = sum(
+        get_timer_total(f"state {s}")
+        for s in (
+            "INITIAL_PROCESSING", "INITIAL_GLOBAL_RELAX",
+            "CAMERA_PARAMETER_RELAX", "FINAL_GLOBAL_RELAX",
+        )
+    )
+    by_path = {
+        node.payload.path: np.asarray(node.payload.position)
+        for _, node in p.graph.nodes()
+    }
+    errs = [
+        float(np.linalg.norm(by_path[path] - positions[i]))
+        for i, path in enumerate(paths)
+        if path in by_path
+    ]
+    print(total_performance_summary(), file=sys.stderr)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return dict(
+        n_images=n,
+        survey_gen_s=round(gen_s, 2),
+        wall_s=round(wall, 2),
+        images_per_sec_e2e=round(n / wall, 3),
+        lm_iterations=int(lm_iters),
+        lm_iters_per_sec=round(lm_iters / max(relax_wall, 1e-9), 2),
+        relax_wall_s=round(relax_wall, 2),
+        n_edges=p.graph.size_edges(),
+        median_pose_err_m=round(float(np.median(errs)), 3) if errs else None,
+        final_state=p.get_state(),
+    )
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [100, 1000]
+    for n in sizes:
+        result = run_config(n)
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

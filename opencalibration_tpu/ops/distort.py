@@ -186,12 +186,15 @@ def _pixel_grid(model: CameraModel, divisions: int = _CONVERT_GRID):
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [(d+1)^2, 2]
 
 
+@jax.jit
 def convert_to_inverse(model: CameraModel) -> CameraModel:
     """Fit an INVERSE model matching a FORWARD model over a pixel grid.
 
     Mirrors reference invert_distortion.cpp:105-150: sample the grid, take
     (ray, exact forward reprojection) pairs, LM-fit the 5 distortion params
-    of the inverse model on 3d ray residuals.
+    of the inverse model on 3d ray residuals. Jitted: the grid is static,
+    so every conversion after the first reuses one compiled program
+    (an eager trace of the nested LM costs seconds per call).
     """
     assert model.tag == FORWARD
     dtype = model.dtype
@@ -214,10 +217,12 @@ def convert_to_inverse(model: CameraModel) -> CameraModel:
     return base.replace(radial_distortion=p[:3], tangential_distortion=p[3:])
 
 
+@jax.jit
 def convert_to_forward(model: CameraModel) -> CameraModel:
     """Fit a FORWARD model matching an INVERSE model over a pixel grid.
 
     Mirrors reference invert_distortion.cpp:152-191 (2d pixel residuals).
+    Jitted for the same reason as convert_to_inverse.
     """
     assert model.tag == INVERSE
     dtype = model.dtype

@@ -99,6 +99,7 @@ class Pipeline:
     def __init__(self, batch_size: int = 10, parallelism: int = 8):
         self.batch_size = batch_size
         self.parallelism = parallelism
+        self.overlap_io = True  # heterogeneous host/device overlap (see below)
         self.graph: MeasurementGraph = MeasurementGraph(seed=0)
         self.geocoord = GeoCoord()
         self.model_store: Dict[int, CameraModel] = {}
@@ -129,6 +130,7 @@ class Pipeline:
         # ortho output configuration (reference Pipeline set_* setters)
         self.ortho_path: Optional[str] = None
         self.dsm_path: Optional[str] = None
+        self.camera_id_path: Optional[str] = None
         self.thumbnail_path: Optional[str] = None
         self.textured_obj_prefix: Optional[str] = None
         self.ortho_max_megapixels: float = 64.0
@@ -169,9 +171,27 @@ class Pipeline:
 
         return load_checkpoint(directory, self)
 
+    # Clear JIT caches when the process nears the kernel's memory-map
+    # limit (vm.max_map_count, typically 65530): every XLA:CPU LM compile
+    # costs ~400 maps, and a full multi-tier calibration compiles hundreds
+    # of modules — past the limit LLVM dies with 'Cannot allocate memory'.
+    _MAPS_CLEAR_THRESHOLD = 40000
+
+    def _maybe_clear_jit_caches(self):
+        try:
+            with open("/proc/self/maps") as f:
+                n = sum(1 for _ in f)
+        except OSError:
+            return
+        if n > self._MAPS_CLEAR_THRESHOLD:
+            import jax
+
+            jax.clear_caches()
+
     def iterate_once(self) -> str:
         state = self._state
         handler = getattr(self, "_run_" + state.lower())
+        self._maybe_clear_jit_caches()
         with PerformanceMeasure(f"state {state}"):
             transition = handler()
         if transition == "NEXT":
@@ -227,10 +247,19 @@ class Pipeline:
             options=RelaxOptions(orientation=True, ground_plane=True),
         )
 
-        # host decode threads + device link/relax overlap
-        self._load_stage.run(self.parallelism)
-        self._link_stage.run(self.graph, self.model_store)
-        self._relax_stage.run_all(self.graph, self.surfaces)
+        # heterogeneous overlap (reference interleave, pipeline.cpp:548-556):
+        # batch N decodes on host threads WHILE the device links batch N-1
+        # and relaxes batch N-2; the device extraction joins afterwards.
+        # overlap_io=False forces the serial order (for A/B benchmarks).
+        if self.overlap_io:
+            self._load_stage.start_decode(self.parallelism)
+            self._link_stage.run(self.graph, self.model_store)
+            self._relax_stage.run_all(self.graph, self.surfaces)
+            self._load_stage.finish()
+        else:
+            self._load_stage.run(self.parallelism)
+            self._link_stage.run(self.graph, self.model_store)
+            self._relax_stage.run_all(self.graph, self.surfaces)
 
         loaded = self._load_stage.finalize(
             self.graph, self.geocoord, self.model_store,
@@ -238,9 +267,11 @@ class Pipeline:
         )
         linked = self._link_stage.finalize(self.graph)
         relaxed = self._relax_stage.finalize(self.graph, self.model_store)
-        new_surfaces = self._relax_stage.surfaces()
+        new_surfaces = [
+            s for s in self._relax_stage.surfaces() if s.mesh is not None or s.cloud
+        ]
         if new_surfaces:
-            self.surfaces = [s for s in new_surfaces if s.mesh is not None or s.cloud]
+            self.surfaces = self._merge_group_surfaces(new_surfaces)
 
         total = self.graph.size_nodes() + len(self._add_queue)
         local = self.graph.size_nodes() / total if total else 1.0
@@ -252,16 +283,125 @@ class Pipeline:
             return "REPEAT"
         return "NEXT"
 
+    # mesh-refinement constants (reference pipeline.cpp:676-679)
+    _MESH_MAX_POINTS_PER_TRIANGLE = 20
+    _MESH_VARIANCE_GSD_MULTIPLIER = 2.0
+    _MESH_BASE_GRID_FRACTION = 0.1
+    _MESH_MAX_GRID_LEVELS = 3
+
+    def _mesh_gsd(self, grid_fraction: float):
+        """Mean ground-sample distance + the level's minimum triangle size
+        (reference pipeline.cpp:717-752)."""
+        surf_z, n = 0.0, 0
+        for s in self.surfaces:
+            if s.mesh is not None and s.mesh.num_vertices > 0:
+                z = s.mesh.vertices[:, 2]
+                z = z[np.isfinite(z)]
+                surf_z += float(z.sum())
+                n += len(z)
+        surf_z = surf_z / n if n else 0.0
+        cam_z, arc, size, count = 0.0, 0.0, 0.0, 0
+        for nid, node in self.graph.nodes():
+            model = self.model_store.get(node.payload.model_id)
+            if model is None:
+                continue
+            f = float(np.asarray(model.focal_length_pixels))
+            if f <= 0 or not np.isfinite(node.payload.position).all():
+                continue
+            cam_z += float(node.payload.position[2])
+            arc += 1.0 / f
+            size += max(float(model.pixels_cols), float(model.pixels_rows))
+            count += 1
+        if count == 0:
+            return 0.01, 0.0
+        cam_z, arc, size = cam_z / count, arc / count, size / count
+        gsd = max(0.001, abs(cam_z - surf_z) * arc)
+        reduced = (
+            math.sqrt(self._MESH_MAX_POINTS_PER_TRIANGLE / 8.0)
+            * grid_fraction * size * gsd
+        )
+        return gsd, reduced
+
     def _run_mesh_refinement(self) -> str:
+        """Interleaved relax-and-refine with a grid-fraction level
+        schedule (reference pipeline.cpp:666-820): start from a minimal
+        mesh, then repeat [ground-mesh relax at the level's grid fraction
+        -> one refineByPointDensity pass gated on (2 x GSD)^2 plane
+        variance], advancing to a finer level when refinement converges —
+        this is what gives intrinsics calibration a mesh that can actually
+        represent the terrain."""
         if self.skip_mesh_refinement:
             return "NEXT"
-        from opencalibration_tpu.surface.refine import refine_surfaces
+        from opencalibration_tpu.surface.mesh import build_minimal_mesh
+        from opencalibration_tpu.surface.refine import refine_by_point_density
 
-        self.surfaces = refine_surfaces(self.surfaces)
-        self._emit([], [], [], "mesh refinement", 1.0, surfaces_updated=True)
-        return "NEXT"
+        rc = self._state_run_count
+        if rc == 0:
+            self._mesh_grid_level = 0
+            self._mesh_level_triangles = 0
+            cams = np.stack(
+                [
+                    np.asarray(node.payload.position)
+                    for _, node in self.graph.nodes()
+                    if np.isfinite(node.payload.position).all()
+                ]
+            ) if self.graph.size_nodes() else np.zeros((0, 3))
+            prior = None
+            clouds = [c for s in self.surfaces for c in s.cloud]
+            if clouds:
+                prior = np.concatenate(clouds)
+            if len(cams) >= 2:
+                mesh = build_minimal_mesh(cams, prior_z_points=prior)
+                if mesh is not None:
+                    self.surfaces = [SurfaceModel(cloud=[], mesh=mesh)]
+
+        frac = self._MESH_BASE_GRID_FRACTION / (2.0 ** self._mesh_grid_level)
+        self._global_relax(
+            RelaxOptions(orientation=True, ground_mesh=True, grid_fraction=frac),
+            None, False,
+        )
+        if not self.surfaces:
+            return "NEXT"
+
+        gsd, reduced = self._mesh_gsd(frac)
+        min_var = (self._MESH_VARIANCE_GSD_MULTIPLIER * gsd) ** 2
+        created = 0
+        refined_surfaces = []
+        for s in self.surfaces:
+            if s.mesh is None or not s.cloud:
+                refined_surfaces.append(s)
+                continue
+            pts = np.concatenate(s.cloud)
+            refined = refine_by_point_density(
+                s.mesh, pts, self._MESH_MAX_POINTS_PER_TRIANGLE,
+                min_distance_variance=min_var, max_iterations=1,
+                min_triangle_size=reduced,
+            )
+            created += refined.num_triangles - s.mesh.num_triangles
+            refined_surfaces.append(SurfaceModel(cloud=s.cloud, mesh=refined))
+        self.surfaces = refined_surfaces
+        self._emit([], [], [], f"mesh refinement L{self._mesh_grid_level}",
+                   surfaces_updated=True)
+
+        if rc >= RELAX_MAX_ITERATIONS * (self._MESH_MAX_GRID_LEVELS + 1):
+            return "NEXT"  # global safety cap
+        if created > 0:
+            self._mesh_level_triangles += created
+            return "REPEAT"
+        if (
+            self._mesh_level_triangles == 0
+            or self._mesh_grid_level >= self._MESH_MAX_GRID_LEVELS
+        ):
+            return "NEXT"  # a whole level converged without any refinement
+        self._mesh_grid_level += 1
+        self._mesh_level_triangles = 0
+        return "REPEAT"
 
     def _global_relax(self, options: RelaxOptions, trim: Optional[int], last: bool) -> List[int]:
+        # NOTE: intrinsics tiers deliberately share one compiled LM module
+        # (the Brown tier / principal toggles live in the free-mask ARRAY,
+        # not the block structure) — do not clear jit caches on option
+        # changes; _maybe_clear_jit_caches bounds cache growth instead.
         self._relax_stage.init(
             self.graph, [], self.gps_positions, self.model_store,
             relax_all=True, disable_parallelism=last, options=options,
@@ -274,8 +414,20 @@ class Pipeline:
             s for s in self._relax_stage.surfaces() if s.mesh is not None or s.cloud
         ]
         if surfaces:
-            self.surfaces = surfaces
+            self.surfaces = self._merge_group_surfaces(surfaces)
         return relaxed
+
+    @staticmethod
+    def _merge_group_surfaces(surfaces: List[SurfaceModel]) -> List[SurfaceModel]:
+        """Per-group surfaces over the SAME mesh topology merge into one,
+        vertex positions weighted by each group's point support
+        (reference relax_stage.cpp:150-157 -> mergeSurfaceModels)."""
+        if len(surfaces) <= 1:
+            return surfaces
+        from opencalibration_tpu.surface.refine import merge_surface_models
+
+        merged = merge_surface_models(surfaces)
+        return [merged] if merged is not None else surfaces
 
     def _run_initial_global_relax(self) -> str:
         if self.skip_initial_global_relax:
@@ -393,7 +545,7 @@ class Pipeline:
                            tile_update=info)
 
             self._ortho_job.tile_callback = on_tile
-            self._ortho_job.pass_blend(out_path)
+            self._ortho_job.pass_blend(out_path, camera_id_path=self.camera_id_path)
             if self.textured_obj_prefix:
                 from opencalibration_tpu.io.geotiff import read_geotiff
                 from opencalibration_tpu.ortho.ortho import generate_textured_obj

@@ -59,6 +59,14 @@ from opencalibration_tpu.types.graph import (
 )
 
 MAX_FEATURES = 2048
+
+def _wide():
+    """float64 when x64 is enabled (CPU parity tests), float32 otherwise
+    (TPU has no f64 — this avoids per-call truncation warnings)."""
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
 LINK_SUBSET = 1024  # padded per-image sparse subset for matching
 COARSE_SPACING_PIXELS = 40.0  # reference link_stage.cpp:63
 KNN_NEIGHBOURS = 10  # reference link_stage.cpp:22-38
@@ -98,13 +106,34 @@ class LoadStage:
     def init(self, paths: Sequence[str]):
         self._paths = list(paths)
         self._decoded = []
+        self._futures = None
+        self._executor = None
 
-    def run(self, parallelism: int = 8):
+    def start_decode(self, parallelism: int = 8):
+        """Kick off host-side JPEG decode on a thread pool WITHOUT
+        blocking — the heterogeneous-overlap half of the reference's
+        interleaved staged pipeline (pipeline.cpp:548-556): batch N
+        decodes on host threads while the device links batch N-1 and
+        relaxes batch N-2."""
+        if not self._paths:
+            return
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=parallelism
+        )
+        self._futures = [
+            self._executor.submit(load_and_decode, p) for p in self._paths
+        ]
+
+    def finish(self):
+        """Join the decode threads and run ONE batched device extraction."""
+        if self._futures is not None:
+            self._decoded = [f.result() for f in self._futures]
+            self._executor.shutdown(wait=False)
+            self._futures = None
+            self._executor = None
         if not self._paths:
             self._decoded = []
             return
-        with concurrent.futures.ThreadPoolExecutor(max_workers=parallelism) as ex:
-            self._decoded = list(ex.map(load_and_decode, self._paths))
         for d in self._decoded:
             if d is not None:
                 _apply_sidecar_metadata(d.node)
@@ -118,6 +147,11 @@ class LoadStage:
             d.node.features = features_from_device(
                 out, i, d.scale, sizes[i], self.max_features
             )
+
+    def run(self, parallelism: int = 8):
+        if self._futures is None:
+            self.start_decode(parallelism)
+        self.finish()
 
     def finalize(
         self,
@@ -147,7 +181,7 @@ class LoadStage:
                     # last-resort prior: ~55deg horizontal FOV
                     kw["focal_length_pixels"] = max(md.width_px, md.height_px)
                 model_key_to_id[key] = model_id
-                model_store[model_id] = CameraModel.create(dtype=jnp.float64, **kw)
+                model_store[model_id] = CameraModel.create(dtype=None, **kw)
             node.model_id = model_key_to_id[key]
 
             if md.has_gps():
@@ -166,7 +200,13 @@ class LoadStage:
 
 def _subsample_for_link(feats, model: CameraModel):
     """Strength-ordered spatially-spread subset padded to LINK_SUBSET
-    (reference match_features.cpp:8-52 with 40px spacing)."""
+    (reference match_features.cpp:8-52 with 40px spacing).
+
+    The reference's 40px min-spacing is calibrated for its <=1600px
+    extraction resolution (extract_features.cpp:25-33); smaller inputs get
+    a proportionally finer grid so the subset keeps the same angular
+    density (a fixed 40px grid on a 320px test image would leave only ~48
+    candidates and starve RANSAC on wide-baseline pairs)."""
     from opencalibration_tpu.ops.spatial import spatial_subsample
 
     n = len(feats.xy)
@@ -175,12 +215,14 @@ def _subsample_for_link(feats, model: CameraModel):
     strength = feats.strength[:count]
     cols = max(float(model.pixels_cols), 1.0)
     rows = max(float(model.pixels_rows), 1.0)
-    ncx = max(2, int(math.ceil(cols / COARSE_SPACING_PIXELS)))
-    ncy = max(2, int(math.ceil(rows / COARSE_SPACING_PIXELS)))
+    spacing = COARSE_SPACING_PIXELS * min(1.0, max(cols, rows) / 1600.0)
+    spacing = max(spacing, 4.0)
+    ncx = max(2, int(math.ceil(cols / spacing)))
+    ncy = max(2, int(math.ceil(rows / spacing)))
     keep = np.asarray(
         spatial_subsample(
             jnp.asarray(xy), jnp.asarray(strength),
-            jnp.asarray(feats.valid[:count]), COARSE_SPACING_PIXELS, ncx, ncy,
+            jnp.asarray(feats.valid[:count]), spacing, ncx, ncy,
         )
     )
     idx = np.where(keep)[0][:LINK_SUBSET]
@@ -505,22 +547,37 @@ class RelaxStage:
         from opencalibration_tpu.relax.problem_builder import apply_solution
         from opencalibration_tpu.relax.relax import build_problem
 
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
         builts = []
         pre_solve = False
-        for g in self._groups:
-            built, pre = build_problem(
-                graph, g.poses, g.cam_models, g.edge_ids, self._options,
-                previous_surfaces,
-            )
-            builts.append(built)
-            pre_solve = pre_solve or (pre and built is not None)
+        with PerformanceMeasure("relax build problems"):
+            for g in self._groups:
+                built, pre = build_problem(
+                    graph, g.poses, g.cam_models, g.edge_ids, self._options,
+                    previous_surfaces,
+                )
+                builts.append(built)
+                pre_solve = pre_solve or (pre and built is not None)
 
         live = [i for i, b in enumerate(builts) if b is not None]
         self._surfaces = [SurfaceModel() for _ in self._groups]
         if not live:
             return
-        batch = build_group_batch([builts[i] for i in live])
-        solved, _ = solve_group_batch(batch, pre_solve=pre_solve)
+        with PerformanceMeasure("relax batch groups"):
+            batch = build_group_batch([builts[i] for i in live])
+        with PerformanceMeasure("relax solve"):
+            solved, info = solve_group_batch(batch, pre_solve=pre_solve)
+        if info is not None:
+            from opencalibration_tpu.utils.performance import add_event_count
+
+            try:
+                add_event_count(
+                    "lm iterations",
+                    float(np.sum(np.asarray(info.iterations))),
+                )
+            except (AttributeError, TypeError):
+                pass
         for k, i in enumerate(live):
             params_g = extract_group_params(batch, solved, k)
             g = self._groups[i]
@@ -587,6 +644,13 @@ def refit_all_edges(graph: MeasurementGraph, model_store: Dict[int, CameraModel]
     intrinsics changed — deterministic 'maximum likelihood' 3x refit
     (reference relax_group.cpp:119-178), batched: edges are bucketed by
     padded match count and each bucket refits in one vmapped dispatch."""
+    from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+    with PerformanceMeasure("refit all edges"):
+        return _refit_all_edges_impl(graph, model_store)
+
+
+def _refit_all_edges_impl(graph, model_store):
     from opencalibration_tpu.relax.problem_builder import _bucket, _pad_rows
 
     entries = []
@@ -596,8 +660,8 @@ def refit_all_edges(graph: MeasurementGraph, model_store: Dict[int, CameraModel]
         if n == 0:
             continue
         ns, nd = graph.get_node(e.source), graph.get_node(e.dest)
-        ms = model_store[ns.payload.model_id].astype(jnp.float64)
-        mdm = model_store[nd.payload.model_id].astype(jnp.float64)
+        ms = model_store[ns.payload.model_id].astype(_wide())
+        mdm = model_store[nd.payload.model_id].astype(_wide())
         px1 = ns.payload.features.xy[rel.match_idx1]
         px2 = nd.payload.features.xy[rel.match_idx2]
         inliers = np.zeros(n, bool)

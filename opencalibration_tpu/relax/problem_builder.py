@@ -32,10 +32,20 @@ from opencalibration_tpu.relax import blocks as B
 from opencalibration_tpu.relax import lm
 from opencalibration_tpu.relax.tangent import RelaxParams, TangentLayout
 from opencalibration_tpu.surface.mesh import TriMesh, build_minimal_mesh
-from opencalibration_tpu.types.camera import CameraModel, FORWARD, INVERSE
+from opencalibration_tpu.types.camera import (
+    CameraModel, FORWARD, INVERSE, stack_cameras, take_camera,
+)
 from opencalibration_tpu.types.graph import MeasurementGraph, NodePose, SurfaceModel
 
 DOWN_QUAT = np.array([0.0, 1.0, 0.0, 0.0])  # 180deg about x: nadir, north-up
+
+def _wide():
+    """float64 when x64 is enabled (CPU parity tests), float32 otherwise
+    (TPU has no f64 — this avoids per-call truncation warnings)."""
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -69,6 +79,11 @@ class RelaxOptions:
     radial_tier: int = 0  # 0=off, 1=Brown2, 2=Brown24, 3=Brown246
     tangential: bool = False
     minimal_mesh: bool = False
+    # measurement grid-filter cell size as a fraction of the image
+    # (reference RelaxConfig.ground_mesh_grid_fraction,
+    # types/relax_options.hpp:139-151); the mesh-refinement level schedule
+    # halves it per level (pipeline.cpp:698)
+    grid_fraction: float = 0.15
 
     @property
     def any_intrinsics(self) -> bool:
@@ -142,10 +157,12 @@ def build_decomposition_problem(
     graph: MeasurementGraph,
     node_poses: Sequence[NodePose],
     edge_ids: Sequence[int],
-    dtype=jnp.float64,
+    dtype=None,
 ) -> Optional[BuiltProblem]:
     """Relative-orientation problem (setupDecompositionProblem,
     reference relax_problem.cpp:40-59 + addRelationCost :312-377)."""
+    if dtype is None:
+        dtype = _wide()
     cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
     if len(quats) == 0:
         return None
@@ -247,6 +264,23 @@ def _grid_filter_edge(
     return keep
 
 
+@jax.jit
+def _edge_rows_device(px1, px2, mi1, mi2, q1, q2, p1, p2, models):
+    """Per-inlier-row device work for ALL edges in one dispatch:
+    undistort each pixel through its row's (forward) camera model, rotate
+    into world frame, 2-ray triangulate. Row count is bucketed by the
+    caller so repeated pipeline iterations reuse this compile."""
+
+    def one(a, b, i1, i2, qa, qb):
+        r1 = D.image_to_3d(a, take_camera(models, i1))
+        r2 = D.image_to_3d(b, take_camera(models, i2))
+        return r1, r2, quat_rotate(qa, r1), quat_rotate(qb, r2)
+
+    r1c, r2c, r1w, r2w = jax.vmap(one)(px1, px2, mi1, mi2, q1, q2)
+    mid, err = ray_intersection(r1w, p1, r2w, p2)
+    return r1c, r2c, r1w, r2w, mid, err
+
+
 def build_mesh_problem(
     graph: MeasurementGraph,
     node_poses: Sequence[NodePose],
@@ -255,12 +289,14 @@ def build_mesh_problem(
     options: RelaxOptions,
     previous_surfaces: Sequence[SurfaceModel] = (),
     grid_fraction: float = 0.15,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> Optional[BuiltProblem]:
     """Ground-plane / ground-mesh problem: ray/triangle costs over a
     surface mesh, optional shared-inverse-model intrinsics
     (setupGroundPlaneProblem / setupGroundMeshProblem,
     reference relax_problem.cpp:61-120)."""
+    if dtype is None:
+        dtype = _wide()
     cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
     if len(quats) < 2:
         return None
@@ -308,7 +344,7 @@ def build_mesh_problem(
     use_intrinsics = options.any_intrinsics
     for mid, m in sorted(cam_models.items()):
         model_index[mid] = len(inv_models)
-        inv_models.append(D.convert_to_inverse(m.astype(jnp.float64)))
+        inv_models.append(D.convert_to_inverse(m.astype(_wide())))
     if not inv_models:
         # derive from graph nodes
         for nid in cam_index:
@@ -344,7 +380,7 @@ def build_mesh_problem(
     b_vert, b_trixy, b_cam, b_valid, b_pix, b_dir, b_model = [], [], [], [], [], [], []
     tp_list, te_list = [], []
     node_model = {nid: graph.get_node(nid).payload.model_id for nid in cam_index}
-    fwd_models = {mid: cam_models[mid].astype(jnp.float64) for mid in cam_models}
+    fwd_models = {mid: cam_models[mid].astype(_wide()) for mid in cam_models}
 
     # ---- phases 1-2 (ground mesh only): multi-ray track costs
     # (reference relax_problem.cpp:93-106, 608-929)
@@ -375,25 +411,69 @@ def build_mesh_problem(
         ny = px[1] / max(float(m.pixels_rows), 1.0)
         return (int(np.floor(nx / grid_fraction)), int(np.floor(ny / grid_fraction)))
 
+    # ---- ONE batched device pass over every edge's inliers: per-row
+    # undistort -> world rays -> 2-ray triangulation. (A per-edge loop of
+    # these calls traces the iterative undistort eagerly for every edge
+    # and dominates the whole build — the 'no per-item jnp calls on host
+    # paths' rule.) Rows are bucketed so repeated builds reuse the compile.
+    model_order = sorted(model_index, key=model_index.get)
+    fwd_stack = stack_cameras([fwd_models[mid] for mid in model_order])
+    live_edges = []
+    A_px1, A_px2, A_mi1, A_mi2, A_q1, A_q2, A_p1, A_p2 = ([] for _ in range(8))
     for edge_id in edge_list:
         e = graph.get_edge(edge_id)
         rel = e.payload
         n = len(rel.inlier_idx1)
         if n == 0:
             continue
-        s_model = fwd_models.get(node_model[e.source])
-        d_model = fwd_models.get(node_model[e.dest])
-        if s_model is None or d_model is None:
+        if node_model[e.source] not in fwd_models or node_model[e.dest] not in fwd_models:
             continue
+        live_edges.append((edge_id, n))
+        A_px1.append(np.asarray(rel.inlier_pixel1, np.float64))
+        A_px2.append(np.asarray(rel.inlier_pixel2, np.float64))
+        A_mi1.append(np.full(n, model_index[node_model[e.source]], np.int32))
+        A_mi2.append(np.full(n, model_index[node_model[e.dest]], np.int32))
+        A_q1.append(np.repeat(quats[cam_index[e.source]][None], n, 0))
+        A_q2.append(np.repeat(quats[cam_index[e.dest]][None], n, 0))
+        A_p1.append(np.repeat(positions[cam_index[e.source]][None], n, 0))
+        A_p2.append(np.repeat(positions[cam_index[e.dest]][None], n, 0))
+
+    if live_edges:
+        total = sum(n for _, n in live_edges)
+        nb_rows = _bucket(total, minimum=64)
+
+        def cat(parts, fill=0.0):
+            return _pad_rows(np.concatenate(parts), nb_rows, fill=fill)
+
+        r1c_all, r2c_all, r1w_all, r2w_all, mid_all, err_all = jax.tree.map(
+            np.asarray,
+            _edge_rows_device(
+                jnp.asarray(cat(A_px1)), jnp.asarray(cat(A_px2)),
+                jnp.asarray(cat(A_mi1)), jnp.asarray(cat(A_mi2)),
+                jnp.asarray(cat(A_q1)), jnp.asarray(cat(A_q2)),
+                jnp.asarray(cat(A_p1)), jnp.asarray(cat(A_p2)),
+                fwd_stack,
+            ),
+        )
+    off = 0
+    for edge_id, n in live_edges:
+        e = graph.get_edge(edge_id)
+        rel = e.payload
+        s_model = fwd_models[node_model[e.source]]
+        d_model = fwd_models[node_model[e.dest]]
         px1 = np.asarray(rel.inlier_pixel1, np.float64)
         px2 = np.asarray(rel.inlier_pixel2, np.float64)
-        r1, r2 = D.distort_keypoints(jnp.asarray(px1), jnp.asarray(px2), s_model, d_model)
+        r1 = r1c_all[off : off + n]
+        r2 = r2c_all[off : off + n]
+        r1w = r1w_all[off : off + n]
+        r2w = r2w_all[off : off + n]
+        mid_e = mid_all[off : off + n]
+        err_e = err_all[off : off + n]
+        off += n
         q1 = quats[cam_index[e.source]]
         q2 = quats[cam_index[e.dest]]
         p1w = positions[cam_index[e.source]]
         p2w = positions[cam_index[e.dest]]
-        r1w = np.asarray(quat_rotate(jnp.asarray(q1)[None], r1))
-        r2w = np.asarray(quat_rotate(jnp.asarray(q2)[None], r2))
         dist = (
             np.asarray(rel.match_distance)[np.asarray(rel.inlier_match_index)]
             if len(rel.match_distance)
@@ -407,13 +487,8 @@ def build_mesh_problem(
         )
         if not keep.any():
             continue
-        # 2-ray triangulation for triangle lookup + surface output
-        mid, err = ray_intersection(
-            jnp.asarray(r1w[keep]), jnp.asarray(np.repeat(p1w[None], keep.sum(), 0)),
-            jnp.asarray(r2w[keep]), jnp.asarray(np.repeat(p2w[None], keep.sum(), 0)),
-        )
-        mid = np.asarray(mid)
-        err = np.asarray(err)
+        mid = mid_e[keep]
+        err = err_e[keep]
         finite = np.isfinite(mid).all(axis=1)
         tp_list.append(mid[finite])
         te_list.append(err[finite])
@@ -564,7 +639,7 @@ def build_points_problem(
     edge_ids: Sequence[int],
     options: RelaxOptions,
     grid_fraction: float = 0.05,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> Optional[BuiltProblem]:
     """3d-point bundle adjustment (setup3dPointProblem,
     reference relax_problem.cpp:122-145 + addPointMeasurementsCost
@@ -574,6 +649,8 @@ def build_points_problem(
     in the dense tangent (grid filtering bounds their count per group —
     distributed/Schur elimination for the full-survey scale lives in
     parallel.sharded_ba)."""
+    if dtype is None:
+        dtype = _wide()
     cam_index, quats, positions, opt = _gather_cameras(graph, node_poses, edge_ids)
     if len(quats) < 2:
         return None
@@ -585,12 +662,12 @@ def build_points_problem(
     fwd_list: List[CameraModel] = []
     for mid, m in sorted(cam_models.items()):
         model_index[mid] = len(fwd_list)
-        fwd_list.append(m.astype(jnp.float64))
+        fwd_list.append(m.astype(_wide()))
     if not fwd_list:
         return None
     M_count = len(fwd_list)
     node_model = {nid: graph.get_node(nid).payload.model_id for nid in cam_index}
-    fwd_models = {mid: cam_models[mid].astype(jnp.float64) for mid in cam_models}
+    fwd_models = {mid: cam_models[mid].astype(_wide()) for mid in cam_models}
 
     pts_list = []
     err_list = []

@@ -24,13 +24,15 @@ def build_problem(
     edge_ids: Sequence[int],
     options: RelaxOptions,
     previous_surfaces: Sequence[SurfaceModel] = (),
-    grid_fraction: float = 0.15,
+    grid_fraction: Optional[float] = None,
 ) -> Tuple[Optional[BuiltProblem], bool]:
     """Build the relax problem for one working set without solving it.
     Returns (BuiltProblem or None, pre_solve_surface flag) — the batched
     group solver builds every group first, then solves them all in one
     device dispatch (reference runs one Ceres solve per RelaxGroup,
     relax_stage.cpp:100-111)."""
+    if grid_fraction is None:
+        grid_fraction = options.grid_fraction
     if options.ground_mesh or options.ground_plane:
         built = build_mesh_problem(
             graph, node_poses, cam_models, edge_ids, options,
@@ -53,7 +55,7 @@ def relax(
     edge_ids: Sequence[int],
     options: RelaxOptions,
     previous_surfaces: Sequence[SurfaceModel] = (),
-    grid_fraction: float = 0.15,
+    grid_fraction: Optional[float] = None,
 ) -> SurfaceModel:
     """Relax a working set of nodes in place. NaN orientations are seeded
     nadir (the reference's incremental one-at-a-time bootstrap,

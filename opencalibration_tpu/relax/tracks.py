@@ -24,10 +24,28 @@ import numpy as np
 
 from opencalibration_tpu.ops import distort as D
 from opencalibration_tpu.ops.intersection import ray_intersection
-from opencalibration_tpu.ops.quaternion import quat_rotate
+from opencalibration_tpu.types.camera import stack_cameras
 
 MIN_TRACK_RAYS = 3
 MAX_TRACK_RAYS = 5  # reference ROBUST_CENTROID_MAX_POINTS / cost arity
+
+
+def _np_quat_rotate(q, v):
+    """Rotate [3] (or [N,3]) vectors by a wxyz quaternion — numpy, so hot
+    host loops never pay an eager device dispatch per item."""
+    u, w = q[..., 1:], q[..., :1]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+@jax.jit
+def _undistort_nodes_device(px, models):
+    """[K, N, 2] pixels through K stacked models -> [K, N, 3] camera rays
+    in ONE dispatch (an eager per-node vmap re-traces the iterative
+    undistort every call and dominates the track builder)."""
+    return jax.vmap(
+        lambda p, m: jax.vmap(lambda q: D.image_to_3d(q, m))(p)
+    )(px, models)
 
 
 class _UF:
@@ -125,29 +143,37 @@ def build_multiray_tracks(
     accepted = {ti for _, ti in best_per_cell.values()}
 
     # ---- batched ray construction ------------------------------------------
-    # one vmapped undistort per node (NOT per track: thousands of tiny
-    # device dispatches would dominate the builder)
+    # ALL nodes' undistorts in ONE jitted dispatch, feature counts padded
+    # to a common bucket so repeated pipeline iterations reuse the compile
+    from opencalibration_tpu.relax.problem_builder import _bucket
+
+    node_list = sorted({nid for items in cand for nid, _ in items})
     node_rays: Dict[int, np.ndarray] = {}
-    for nid in {nid for items in cand for nid, _ in items}:
-        feats = graph.get_node(nid).payload.features
-        m = fwd_models[node_model[nid]]
-        node_rays[nid] = np.asarray(
-            jax.vmap(lambda p: D.image_to_3d(p, m))(jnp.asarray(feats.xy))
+    if node_list:
+        counts = [
+            len(graph.get_node(nid).payload.features.xy) for nid in node_list
+        ]
+        nb = _bucket(max(counts), minimum=64)
+        px_stack = np.zeros((len(node_list), nb, 2))
+        for i, nid in enumerate(node_list):
+            xy = np.asarray(graph.get_node(nid).payload.features.xy)
+            px_stack[i, : len(xy)] = xy
+        models_stacked = stack_cameras(
+            [fwd_models[node_model[nid]] for nid in node_list]
         )
+        rays = np.asarray(
+            _undistort_nodes_device(jnp.asarray(px_stack), models_stacked)
+        )
+        for i, nid in enumerate(node_list):
+            node_rays[nid] = rays[i, : counts[i]]
 
     accepted_list = sorted(accepted)
     first_dirs, first_orig = [], []
     for ti in accepted_list:
         items = cand[ti]
         (n0, f0), (n1, f1) = items[0], items[1]
-        q0 = quats[cam_index[n0]]
-        q1 = quats[cam_index[n1]]
-        d0 = np.asarray(
-            quat_rotate(jnp.asarray(q0), jnp.asarray(node_rays[n0][f0]))
-        )
-        d1 = np.asarray(
-            quat_rotate(jnp.asarray(q1), jnp.asarray(node_rays[n1][f1]))
-        )
+        d0 = _np_quat_rotate(quats[cam_index[n0]], node_rays[n0][f0])
+        d1 = _np_quat_rotate(quats[cam_index[n1]], node_rays[n1][f1])
         first_dirs.append((d0, d1))
         first_orig.append((positions[cam_index[n0]], positions[cam_index[n1]]))
     if not accepted_list:

@@ -31,6 +31,30 @@ def reset_performance_counters():
         _totals.clear()
         _counts.clear()
         _timeline.clear()
+        _events.clear()
+
+
+# -- event counters (not timers): e.g. LM iterations executed, residual
+# blocks solved — the quantities per-second benchmarks are built from
+_events: Dict[str, float] = defaultdict(float)
+
+
+def add_event_count(key: str, n: float):
+    """Always-on cheap accumulator (unlike the scope timers, these are
+    gated by the caller, not by enable_performance_counters)."""
+    with _lock:
+        _events[key] += float(n)
+
+
+def get_event_count(key: str) -> float:
+    with _lock:
+        return _events.get(key, 0.0)
+
+
+def get_timer_total(key: str) -> float:
+    """Accumulated scope-timer seconds for one key (0 if never measured)."""
+    with _lock:
+        return _totals.get(key, 0.0)
 
 
 class PerformanceMeasure:

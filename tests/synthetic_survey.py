@@ -62,7 +62,8 @@ def camera_grid(rows, cols, spacing=15.0, seed=1):
     return np.asarray(positions), np.stack(quats)
 
 
-def render_views(tex, positions, quats, ground_extent=150.0):
+def render_views(tex, positions, quats, ground_extent=150.0,
+                 relief_amplitude=0.0, relief_wavelength=70.0):
     import functools
 
     import jax
@@ -92,6 +93,18 @@ def render_views(tex, positions, quats, ground_extent=150.0):
             dirs = jax.vmap(lambda p: D.image_to_3d(p, model))(px)
             wd = quat_rotate(q, dirs)
             s = -t[2] / wd[:, 2]
+            if relief_amplitude:
+                # heightfield terrain z = eta(x, y): fixed-point ray march
+                # (converges fast for slopes << 1)
+                two_pi = 2.0 * jnp.pi
+                def eta(xy):
+                    return relief_amplitude * (
+                        jnp.sin(two_pi * xy[:, 0] / relief_wavelength)
+                        * jnp.cos(two_pi * xy[:, 1] / relief_wavelength)
+                    )
+                for _ in range(6):
+                    xy = t[None, :2] + s[:, None] * wd[:, :2]
+                    s = (eta(xy) - t[2]) / wd[:, 2]
             ground = t[None] + s[:, None] * wd
             u = jnp.clip(ground[:, 0] / ground_extent * (size - 1), 0, size - 1)
             v = jnp.clip(ground[:, 1] / ground_extent * (size - 1), 0, size - 1)
@@ -100,21 +113,43 @@ def render_views(tex, positions, quats, ground_extent=150.0):
 
         return jax.vmap(render)(quats_a, pos_a)
 
-    out = render_all(
-        jnp.asarray(tex),
-        jnp.asarray(quats, jnp.float32),
-        jnp.asarray(positions, jnp.float32),
-    )
-    return [np.asarray(out[i]) for i in range(len(positions))]
+    # chunk the vmap so 1k-image benchmark surveys don't hold every
+    # intermediate ray buffer at once
+    views = []
+    chunk = 64
+    for c0 in range(0, len(positions), chunk):
+        out = render_all(
+            jnp.asarray(tex),
+            jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
+            jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
+        )
+        views.extend(np.asarray(out[i]) for i in range(out.shape[0]))
+    return views
 
 
-def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0):
-    """Write JPEGs + sidecar geotags. Returns (paths, positions, quats)."""
+def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
+                 focal_px_tag=None, relief_amplitude=0.0,
+                 relief_wavelength=70.0):
+    """Write JPEGs + sidecar geotags. Returns (paths, positions, quats).
+
+    focal_px_tag: focal length written to the geotag sidecars (defaults to
+    the true render focal); pass a perturbed value to exercise intrinsics
+    calibration recovering the truth. relief_amplitude > 0 renders a
+    sinusoidal heightfield terrain instead of a flat plane — depth
+    variation inside every image makes intrinsics strongly observable."""
     import cv2
 
-    tex = make_texture(seed)
+    if focal_px_tag is None:
+        focal_px_tag = FOCAL
     positions, quats = camera_grid(rows, cols, spacing, seed + 1)
-    views = render_views(tex, positions, quats)
+    # scale the ground texture to the survey footprint so large benchmark
+    # surveys still see structured ground everywhere
+    extent = max(150.0, float(positions[:, :2].max()) + 60.0)
+    tex_size = min(4096, max(512, int(extent / 150.0 * 512)))
+    tex = make_texture(seed, size=tex_size)
+    views = render_views(tex, positions, quats, ground_extent=extent,
+                         relief_amplitude=relief_amplitude,
+                         relief_wavelength=relief_wavelength)
 
     geo = GeoCoord()
     geo.set_origin(ORIGIN_LAT, ORIGIN_LON)
@@ -130,7 +165,7 @@ def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0):
                     latitude=float(wgs[0]),
                     longitude=float(wgs[1]),
                     altitude=float(positions[i][2]),
-                    focal_length_px=FOCAL,
+                    focal_length_px=float(focal_px_tag),
                     camera_make="Synthetic",
                     camera_model="TestCam",
                 ),
