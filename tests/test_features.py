@@ -124,3 +124,59 @@ def test_fed_nonlinear_scale_space():
     mid_grad_g = float(np.abs(np.diff(np.asarray(L_g[lvl, 0, 48]))).max())
     mid_grad_f = float(np.abs(np.diff(np.asarray(L_f[lvl, 0, 48]))).max())
     assert mid_grad_f > mid_grad_g * 1.5, (mid_grad_f, mid_grad_g)
+
+
+def test_external_detector_anchor():
+    """Fidelity anchor against independent detectors (addresses the
+    'AKAZE fidelity is self-referential' concern; OpenCV 5 dropped AKAZE
+    so SIFT anchors detection repeatability and ORB, a binary-descriptor
+    pipeline like ours, anchors matchability): the overwhelming majority
+    of SIFT keypoints must coincide with one of ours, and our
+    ratio-test match yield must at least equal ORB's on the same pair."""
+    import cv2
+    import scipy.spatial
+
+    if not hasattr(cv2, "SIFT_create") or not hasattr(cv2, "ORB_create"):
+        import pytest
+
+        pytest.skip("cv2 lacks SIFT/ORB")
+
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops import features as F
+    from opencalibration_tpu.ops import hamming as H
+    from tests.synthetic_survey import make_texture, render_views
+
+    tex = make_texture(0)
+    DOWN = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    positions = np.array([[60.0, 60.0, 60.0], [72.0, 64.0, 60.0]], np.float32)
+    views = render_views(tex, positions, np.stack([DOWN, DOWN]))
+    imgs8 = [(v * 255).astype(np.uint8) for v in views]
+
+    out = F.extract_features(jnp.asarray(np.stack(views)), max_features=1024)
+    ours_xy = [
+        np.asarray(out["xy"][i])[np.asarray(out["valid"][i])] for i in range(2)
+    ]
+
+    sift = cv2.SIFT_create(nfeatures=1024)
+    for i, im in enumerate(imgs8):
+        pts = np.array([k.pt for k in sift.detect(im, None)])
+        assert len(pts) > 50
+        d, _ = scipy.spatial.cKDTree(ours_xy[i]).query(pts)
+        coverage = (d <= 3.0).mean()
+        assert coverage > 0.7, f"image {i}: only {coverage:.2f} of SIFT kps covered"
+
+    _, _, matched = H.match_descriptors(
+        out["descriptors"][0], out["descriptors"][1],
+        out["valid"][0], out["valid"][1],
+    )
+    ours_matches = int(np.asarray(matched).sum())
+
+    orb = cv2.ORB_create(nfeatures=1024)
+    kp1, d1 = orb.detectAndCompute(imgs8[0], None)
+    kp2, d2 = orb.detectAndCompute(imgs8[1], None)
+    knn = cv2.BFMatcher(cv2.NORM_HAMMING).knnMatch(d1, d2, k=2)
+    orb_matches = len([m for m, n in knn if m.distance < 0.8 * n.distance])
+    assert ours_matches >= max(orb_matches, 100), (
+        f"ours {ours_matches} vs ORB {orb_matches}"
+    )
