@@ -53,8 +53,19 @@ def run_config(n_images: int, batch_size: int = 64) -> dict:
 
     t0 = time.perf_counter()
     # run through FINAL_GLOBAL_RELAX; stop before the (disabled) ortho tail
+    prev = None
     for _ in range(100000):
+        cur = p.get_state()
+        rc = p.state_run_count()
+        t1 = time.perf_counter()
         state = p.iterate_once()
+        if cur != prev:
+            prev = cur
+        print(
+            f"  [{time.perf_counter() - t0:7.1f}s] {cur} rc={rc}"
+            f" ({time.perf_counter() - t1:.1f}s)",
+            file=sys.stderr, flush=True,
+        )
         if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
             break
     wall = time.perf_counter() - t0

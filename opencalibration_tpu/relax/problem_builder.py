@@ -355,7 +355,15 @@ def build_mesh_problem(
                 inv_models.append(None)  # placeholder; filled by caller
     M = max(1, len(inv_models))
 
-    layout = TangentLayout(len(quats), mesh.num_vertices, 0, M)
+    # pad the mesh-z tangent to a bucket: the refinement loop grows the
+    # vertex count every iteration, and an exact-size layout would compile
+    # a fresh LM module each time (padded slots carry no residuals and are
+    # frozen in the free masks)
+    V_real = mesh.num_vertices
+    V_pad = _bucket(V_real, minimum=32)
+    layout = TangentLayout(len(quats), V_pad, 0, M)
+    mesh_z0 = np.zeros(V_pad)
+    mesh_z0[:V_real] = mesh.vertices[:, 2]
     focal = np.array([float(m.focal_length_pixels) for m in inv_models]) if inv_models else np.array([1.0])
     principal = (
         np.stack([np.asarray(m.principal_point) for m in inv_models])
@@ -371,7 +379,7 @@ def build_mesh_problem(
     )
     params = RelaxParams.create(
         jnp.asarray(quats, dtype), jnp.asarray(positions, dtype),
-        mesh_z=jnp.asarray(mesh.vertices[:, 2], dtype),
+        mesh_z=jnp.asarray(mesh_z0, dtype),
         focal=jnp.asarray(focal, dtype), principal=jnp.asarray(principal, dtype),
         radial=jnp.asarray(radial, dtype), tangential=jnp.asarray(tangential, dtype),
     )
@@ -613,15 +621,16 @@ def build_mesh_problem(
                 )
             )
 
+    mesh_free = jnp.arange(V_pad) < V_real  # padded slots frozen
     free = layout.build_free_mask(
         rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
-        mesh_free=True,
+        mesh_free=mesh_free,
         focal_free=options.focal,
         principal_free=options.principal,
         radial_tiers=options.radial_tier,
     )
     surface_free = layout.build_free_mask(
-        rot_free=jnp.zeros(len(quats), bool), mesh_free=True
+        rot_free=jnp.zeros(len(quats), bool), mesh_free=mesh_free
     )
     return BuiltProblem(
         params=params, layout=layout, blocks=blocks, free_mask=free,
@@ -868,7 +877,7 @@ def apply_solution(
     surface = SurfaceModel()
     if built.mesh is not None:
         mesh = built.mesh.copy()
-        mesh.vertices[:, 2] = np.asarray(params.mesh_z)
+        mesh.vertices[:, 2] = np.asarray(params.mesh_z)[: mesh.num_vertices]
         surface.mesh = mesh
     if built.params.P > 0 and not built.inverse_models:
         # optimized 3d points are the cloud (points problem)
