@@ -364,6 +364,26 @@ def solve_group_batch(
     )
     G = batch.num_groups
     D = len(devices)
+    if D == 1 and G > 1:
+        # Single chip: run groups through ONE compiled single-group solve
+        # instead of a G-vmapped program — a vmapped while-loop body
+        # recompiles for every distinct G (minutes per compile on TPU),
+        # while serial dispatches of the shared-shape program compile once
+        # and execute back-to-back on the same MXU.
+        one = lambda t, g: jax.tree.map(lambda x: x[g : g + 1], t)
+        solved_parts, info_parts = [], []
+        for g in range(G):
+            s, i = _solve_batch(
+                one(params, g), one(blocks, g), free[g : g + 1],
+                surface_free[g : g + 1], batch.layout, pre_solve,
+                max_iterations,
+            )
+            solved_parts.append(s)
+            info_parts.append(i)
+        cat = lambda parts: jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
+        return cat(solved_parts), cat(info_parts)
     if D > 1:
         pad = (-G) % D
         if pad:

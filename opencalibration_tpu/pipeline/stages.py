@@ -209,10 +209,17 @@ def _subsample_for_link(feats, model: CameraModel):
     candidates and starve RANSAC on wide-baseline pairs)."""
     from opencalibration_tpu.ops.spatial import spatial_subsample
 
+    from opencalibration_tpu.relax.problem_builder import _bucket, _pad_rows
+
     n = len(feats.xy)
     count = feats.num_sparse if feats.num_sparse > 0 else n
-    xy = feats.xy[:count]
-    strength = feats.strength[:count]
+    # bucket the candidate count so the jitted subsample compiles once per
+    # bucket, not once per image (a 96-image survey would otherwise pay
+    # ~96 fresh compiles here)
+    nb = _bucket(max(count, 1), minimum=256)
+    xy = _pad_rows(feats.xy[:count], nb)
+    strength = _pad_rows(feats.strength[:count], nb)
+    valid = _pad_rows(feats.valid[:count], nb, fill=False)
     cols = max(float(model.pixels_cols), 1.0)
     rows = max(float(model.pixels_rows), 1.0)
     spacing = COARSE_SPACING_PIXELS * min(1.0, max(cols, rows) / 1600.0)
@@ -222,9 +229,9 @@ def _subsample_for_link(feats, model: CameraModel):
     keep = np.asarray(
         spatial_subsample(
             jnp.asarray(xy), jnp.asarray(strength),
-            jnp.asarray(feats.valid[:count]), spacing, ncx, ncy,
+            jnp.asarray(valid), spacing, ncx, ncy,
         )
-    )
+    )[:count]
     idx = np.where(keep)[0][:LINK_SUBSET]
     pad = LINK_SUBSET - len(idx)
     sel = np.concatenate([idx, np.zeros(pad, np.int64)])
@@ -311,16 +318,24 @@ class LinkStage:
                 self._candidates.append((nid, other))
 
     def run(self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]):
-        # gather host-side per-pair arrays, then dispatch vmapped chunks
+        # gather host-side per-pair arrays, then dispatch vmapped chunks;
+        # the spatial subsample is per NODE, so cache it across pairs
         prepared = []
+        sub_cache: Dict[int, tuple] = {}
+
+        def subsample_of(nid, node, model):
+            if nid not in sub_cache:
+                sub_cache[nid] = _subsample_for_link(node.payload.features, model)
+            return sub_cache[nid]
+
         for source, dest in self._candidates:
             ns, nd = graph.get_node(source), graph.get_node(dest)
             if ns is None or nd is None or ns.payload.features is None or nd.payload.features is None:
                 continue
             ms = model_store[ns.payload.model_id].astype(jnp.float32)
             md = model_store[nd.payload.model_id].astype(jnp.float32)
-            sel1, v1 = _subsample_for_link(ns.payload.features, ms)
-            sel2, v2 = _subsample_for_link(nd.payload.features, md)
+            sel1, v1 = subsample_of(source, ns, ms)
+            sel2, v2 = subsample_of(dest, nd, md)
             f1, f2 = ns.payload.features, nd.payload.features
             prepared.append(
                 (

@@ -224,3 +224,43 @@ def test_shared_intrinsics_solver_matches_joint():
             np.asarray(gg.focal), np.asarray(g0.focal), rtol=0, atol=0
         )
     assert np.isfinite(float(jax.tree.leaves(info.final_cost)[0].ravel()[0]))
+
+
+def test_single_device_serial_matches_batched(
+    calibrated_pipeline_session, monkeypatch
+):
+    """On one chip solve_group_batch dispatches groups serially through a
+    shared single-group compile; results must equal the sharded path."""
+    from opencalibration_tpu.parallel.group_solver import (
+        build_group_batch,
+        solve_group_batch,
+    )
+    from opencalibration_tpu.relax.relax import build_problem
+    from opencalibration_tpu.types.graph import NodePose
+
+    p = calibrated_pipeline_session
+    monkeypatch.setattr(S, "POSE_GROUP_SIZE", 2)
+    stage = S.RelaxStage(use_batched_solver=True)
+    stage.init(
+        p.graph, [], p.gps_positions, p.model_store,
+        relax_all=True, disable_parallelism=False,
+        options=RelaxOptions(ground_mesh=True, minimal_mesh=False),
+    )
+    builts = []
+    for g in stage._groups:
+        built, _ = build_problem(
+            p.graph, g.poses, g.cam_models, g.edge_ids,
+            RelaxOptions(ground_mesh=True, minimal_mesh=False), p.surfaces,
+        )
+        if built is not None:
+            builts.append(built)
+    assert len(builts) >= 2
+    batch = build_group_batch(builts)
+    s_all, _ = solve_group_batch(batch, pre_solve=True)
+    s_one, _ = solve_group_batch(
+        batch, pre_solve=True, devices=[jax.devices()[0]]
+    )
+    qa = np.asarray(s_all.quats)
+    qb = np.asarray(s_one.quats)
+    flip = np.sign(np.sum(qa * qb, axis=-1, keepdims=True))
+    np.testing.assert_allclose(qb * flip, qa, atol=1e-6)
