@@ -221,9 +221,31 @@ def build_decomposition_problem(
     )
 
 
+def _np_ray_error(rays1_w, rays2_w, pos1, pos2):
+    """Signed squared inter-ray distance, numpy (mirrors
+    ops.intersection.ray_intersection's error output for host callers —
+    an eager device call per edge costs a fresh tiny-op compile per
+    distinct shape on TPU)."""
+    n1dn1 = np.sum(rays1_w * rays1_w, axis=-1)
+    n1dn2 = np.sum(rays1_w * rays2_w, axis=-1)
+    n2dn2 = np.sum(rays2_w * rays2_w, axis=-1)
+    denom = n1dn1 * n2dn2 - n1dn2 * n1dn2
+    offset = pos1[None] - pos2[None]
+    odn1 = np.sum(offset * rays1_w, axis=-1)
+    odn2 = np.sum(offset * rays2_w, axis=-1)
+    denom_safe = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    t1 = (n1dn2 * odn2 - n2dn2 * odn1) / denom_safe
+    t2 = (n1dn1 * odn2 - n1dn2 * odn1) / denom_safe
+    p1 = pos1[None] + t1[:, None] * rays1_w
+    p2 = pos2[None] + t2[:, None] * rays2_w
+    err = np.sum((p1 - p2) ** 2, axis=-1)
+    behind = (t1 < 0) | (t2 < 0)
+    return np.where(behind, -err, err)
+
+
 def _grid_filter_edge(
     pixels1, pixels2, rays1_w, rays2_w, pos1, pos2, distances, ransac_H,
-    dims1, dims2, cell_fraction: float,
+    dims1, dims2, cell_fraction: float, err=None,
 ):
     """Composite-score grid filter for one edge's inliers
     (reference relax_problem.cpp:234-309). All numpy, vectorized.
@@ -231,10 +253,11 @@ def _grid_filter_edge(
     n = len(pixels1)
     if n == 0:
         return np.zeros(0, bool)
-    mid, err = ray_intersection(
-        jnp.asarray(rays1_w), jnp.asarray(pos1)[None].repeat(n, 0),
-        jnp.asarray(rays2_w), jnp.asarray(pos2)[None].repeat(n, 0),
-    )
+    if err is None:
+        err = _np_ray_error(
+            np.asarray(rays1_w), np.asarray(rays2_w),
+            np.asarray(pos1), np.asarray(pos2),
+        )
     err = np.asarray(err)
     inter_score = np.where(err < 0, 0.0, 1.0 / (1.0 + err))
     cosang = np.sum(np.asarray(rays1_w) * np.asarray(rays2_w), axis=1)
@@ -492,6 +515,7 @@ def build_mesh_problem(
         keep = _grid_filter_edge(
             px1, px2, r1w, r2w, p1w, p2w, dist,
             np.asarray(rel.ransac_relation), dims1, dims2, grid_fraction,
+            err=err_e,
         )
         if not keep.any():
             continue

@@ -178,14 +178,20 @@ def build_multiray_tracks(
         first_orig.append((positions[cam_index[n0]], positions[cam_index[n1]]))
     if not accepted_list:
         return {}, set(), {}
-    d0s = np.stack([d[0] for d in first_dirs])
-    d1s = np.stack([d[1] for d in first_dirs])
-    o0s = np.stack([o[0] for o in first_orig])
-    o1s = np.stack([o[1] for o in first_orig])
+    nb_t = _bucket(len(accepted_list), minimum=64)  # stable compile shape
+
+    def padstack(parts, idx):
+        arr = np.stack([p[idx] for p in parts])
+        pad = nb_t - len(arr)
+        if pad > 0:
+            arr = np.concatenate([arr, np.ones((pad,) + arr.shape[1:])])
+        return arr
+
     mids, _ = ray_intersection(
-        jnp.asarray(d0s), jnp.asarray(o0s), jnp.asarray(d1s), jnp.asarray(o1s)
+        jnp.asarray(padstack(first_dirs, 0)), jnp.asarray(padstack(first_orig, 0)),
+        jnp.asarray(padstack(first_dirs, 1)), jnp.asarray(padstack(first_orig, 1)),
     )
-    mids = np.asarray(mids)
+    mids = np.asarray(mids)[: len(accepted_list)]
     finite = np.isfinite(mids).all(axis=1)
     tri_idx_all = np.full(len(accepted_list), -1, np.int64)
     if finite.any():
