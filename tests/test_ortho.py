@@ -456,7 +456,17 @@ def test_thumbnail_orthomosaic(calibrated_pipeline):
     h, w = mosaic.rgba.shape[:2]
     assert h > 10 and w > 10
     covered = mosaic.rgba[:, :, 3] == 255
-    assert covered.mean() > 0.15  # survey footprint covered (mesh bounds include borders)
+    # the mesh bounds carry ~2xAGL border margins that dwarf a tiny test
+    # survey, so assert coverage INSIDE the camera footprint, not globally
+    _, gt_positions, _ = p._ground_truth
+    ox, oy = mosaic.origin_xy
+    x0 = int((gt_positions[:, 0].min() - ox) / mosaic.gsd)
+    x1 = int((gt_positions[:, 0].max() - ox) / mosaic.gsd)
+    y0 = int((oy - gt_positions[:, 1].max()) / mosaic.gsd)
+    y1 = int((oy - gt_positions[:, 1].min()) / mosaic.gsd)
+    window = covered[max(y0, 0) : max(y1, 1), max(x0, 0) : max(x1, 1)]
+    assert window.size > 0 and window.mean() > 0.8, window.mean()
+    assert covered.mean() > 0.02
     # DSM near ground level (z ~ 0) where covered
     dsm_vals = mosaic.dsm[covered & np.isfinite(mosaic.dsm)]
     assert len(dsm_vals) > 0 and abs(np.median(dsm_vals)) < 5.0
@@ -486,7 +496,7 @@ def test_dsm_and_ortho_geotiff(calibrated_pipeline, tmp_path):
     )
     img, origin, px, wkt = read_geotiff(ortho_path)
     assert img.shape[2] == 4
-    assert (img[:, :, 3] == 255).mean() > 0.15
+    assert (img[:, :, 3] == 255).mean() > 0.02  # footprint << mesh borders
 
 
 def test_textured_obj(calibrated_pipeline, tmp_path):
