@@ -82,11 +82,15 @@ def run_config(n_images: int, batch_size: int = 64) -> dict:
         node.payload.path: np.asarray(node.payload.position)
         for _, node in p.graph.nodes()
     }
-    errs = [
-        float(np.linalg.norm(by_path[path] - positions[i]))
-        for i, path in enumerate(paths)
-        if path in by_path
-    ]
+    rec = np.stack([by_path[path] for path in paths if path in by_path])
+    gt = np.stack(
+        [positions[i] for i, path in enumerate(paths) if path in by_path]
+    )
+    # remove the constant origin-gauge offset (pipeline local frame is
+    # centred on its first GPS fix, ground truth on the survey origin)
+    errs = np.linalg.norm(
+        (rec - rec.mean(0)) - (gt - gt.mean(0)), axis=1
+    ).tolist()
     print(total_performance_summary(), file=sys.stderr)
     shutil.rmtree(tmpdir, ignore_errors=True)
     return dict(
