@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opencalibration_tpu.ops.distort import image_from_3d, image_to_3d
-from opencalibration_tpu.ops.quaternion import quat_rotate_inverse
+from opencalibration_tpu.ops.quaternion import quat_rotate, quat_rotate_inverse
 from opencalibration_tpu.ortho.blending import (
     compute_blend_weight,
     laplacian_blend,
@@ -43,11 +43,22 @@ from opencalibration_tpu.ortho.color_balance import (
 )
 from opencalibration_tpu.ortho.image_cache import FullResolutionImageCache
 from opencalibration_tpu.ortho.tile_ordering import compute_cache_aware_tile_order
-from opencalibration_tpu.types.camera import CameraModel, stack_cameras
+from opencalibration_tpu.types.camera import (
+    CameraModel,
+    stack_cameras,
+    take_camera,
+)
 from opencalibration_tpu.types.graph import MeasurementGraph, SurfaceModel
 
 MAX_CAMERAS_PER_PIXEL = 5  # reference ortho.cpp closest5
 DEFAULT_TILE = 256
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 @dataclasses.dataclass
@@ -271,6 +282,154 @@ def _sample_cameras_kernel(
     return colors, weights, geom
 
 
+@jax.jit
+def _corner_world_rays(corner_px, quats, models):
+    """[N, 4, 2] image-corner pixels -> [N, 4, 3] world ray directions."""
+
+    def per_cam(px4, q, m):
+        rays = jax.vmap(lambda p: image_to_3d(p, m))(px4)
+        return quat_rotate(jnp.broadcast_to(q, (4, 4)), rays)
+
+    return jax.vmap(per_cam)(corner_px, quats, models)
+
+
+def camera_ground_footprints(
+    quats, poss, models_list, ground_z: float, max_reach_factor: float = 4.0
+):
+    """Each camera's ground-footprint bounding box [N, 4] =
+    (min_x, max_x, min_y, max_y): the image corners projected onto the
+    z = ground_z plane, reach clamped to max_reach_factor x elevation for
+    grazing rays, camera nadir always included (the geometric version of
+    the reference's findTileCameras tile/camera assignment,
+    reference ortho.cpp:1104-1160)."""
+    N = len(models_list)
+    corner_px = np.zeros((N, 4, 2), np.float32)
+    for i, m in enumerate(models_list):
+        w = float(m.pixels_cols)
+        h = float(m.pixels_rows)
+        corner_px[i] = [[0, 0], [w, 0], [0, h], [w, h]]
+    rays = np.asarray(
+        _corner_world_rays(
+            jnp.asarray(corner_px),
+            jnp.asarray(np.asarray(quats), jnp.float32),
+            stack_cameras([m.astype(jnp.float32) for m in models_list]),
+        )
+    )  # [N, 4, 3]
+    out = np.zeros((N, 4))
+    for i in range(N):
+        t = np.asarray(poss[i], np.float64)
+        elev = max(t[2] - ground_z, 1.0)
+        reach = max_reach_factor * elev
+        pts = [t[:2]]
+        for r in rays[i]:
+            rz = r[2]
+            if not np.isfinite(r).all():
+                continue
+            if rz < -1e-6:
+                s = min((ground_z - t[2]) / rz, reach / max(np.linalg.norm(r), 1e-9))
+            else:
+                # horizontal/up ray: clamp to max reach along its xy heading
+                s = reach / max(np.linalg.norm(r[:2]), 1e-9)
+            pts.append(t[:2] + s * r[:2])
+        pts = np.stack(pts)
+        out[i] = [pts[:, 0].min(), pts[:, 0].max(), pts[:, 1].min(), pts[:, 1].max()]
+    return out
+
+
+@jax.jit
+def _sample_knn_kernel(
+    points,  # [P, 3] world sample points
+    knn,  # [P, K] per-pixel candidate camera indices (into the stacks)
+    cam_quats,  # [N, 4]
+    cam_pos,  # [N, 3]
+    models,  # batched CameraModel [N]
+    images,  # [N, Hmax, Wmax, C]
+    img_hw,  # [N, 2]
+    img_scale,  # [N]
+    avg_elevation,
+):
+    """Gather-then-sample: each pixel projects into ONLY its K candidate
+    cameras (per-pixel dynamic gathers of pose/model/texels), so memory
+    and compute are O(P*K) — independent of the camera count N. The
+    all-cameras variant materialized [N, P, 3] (~48 GB at 1k images x
+    4 MP); the reference is per-pixel best-of-5-NN too
+    (reference ortho.cpp:474-653). Returns colors [P, K, C], weights
+    [P, K] (0 where the candidate does not see the pixel)."""
+
+    def per_pixel(point, cams):
+        def per_slot(ci):
+            q = cam_quats[ci]
+            t = cam_pos[ci]
+            model = take_camera(models, ci)
+            ray = quat_rotate_inverse(q, point - t)
+            px = image_from_3d(ray, model)
+            ipx = px * img_scale[ci]
+            h = img_hw[ci, 0].astype(px.dtype)
+            w = img_hw[ci, 1].astype(px.dtype)
+            ok = (
+                (ray[2] > 0)
+                & jnp.all(jnp.isfinite(ipx))
+                & (ipx[0] > 0) & (ipx[0] < w - 1)
+                & (ipx[1] > 0) & (ipx[1] < h - 1)
+            )
+            sx = jnp.where(ok, ipx[0], 0.0)
+            sy = jnp.where(ok, ipx[1], 0.0)
+            x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, images.shape[2] - 2)
+            y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, images.shape[1] - 2)
+            fx = jnp.clip(sx - x0, 0.0, 1.0)
+            fy = jnp.clip(sy - y0, 0.0, 1.0)
+            c00 = images[ci, y0, x0]
+            c01 = images[ci, y0, x0 + 1]
+            c10 = images[ci, y0 + 1, x0]
+            c11 = images[ci, y0 + 1, x0 + 1]
+            color = (
+                c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+                + c10 * (1 - fx) * fy + c11 * fx * fy
+            )
+            horiz = jnp.linalg.norm(point[:2] - t[:2])
+            wgt = compute_blend_weight(
+                sx[None], sy[None], w, h,
+                (horiz / jnp.maximum(avg_elevation, 1e-6))[None],
+            )[0]
+            return color, jnp.where(ok, wgt, 0.0)
+
+        return jax.vmap(per_slot)(cams)
+
+    return jax.vmap(per_pixel)(points, knn)
+
+
+_KNN_PIXEL_CHUNK = 1 << 18  # pixels per device dispatch (bounds memory)
+
+
+def _sample_knn_chunked(
+    points, knn, cam_quats, cam_pos, models, thumbs, thumb_hw, scales,
+    avg_elevation,
+):
+    """Host loop over fixed-size pixel chunks (one compiled shape)."""
+    P, K = knn.shape
+    colors = np.zeros((P, K, 3), np.float32)
+    weights = np.zeros((P, K), np.float32)
+    models_d = models
+    thumbs_d = jnp.asarray(thumbs)
+    for s0 in range(0, P, _KNN_PIXEL_CHUNK):
+        s1 = min(s0 + _KNN_PIXEL_CHUNK, P)
+        n = s1 - s0
+        pad = (_KNN_PIXEL_CHUNK - n) if P > _KNN_PIXEL_CHUNK else 0
+        pts = np.concatenate([points[s0:s1], np.zeros((pad, 3), points.dtype)])
+        kn = np.concatenate([knn[s0:s1], np.zeros((pad, K), knn.dtype)])
+        c, w = _sample_knn_kernel(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(kn, jnp.int32),
+            jnp.asarray(cam_quats, jnp.float32),
+            jnp.asarray(cam_pos, jnp.float32),
+            models_d, thumbs_d, jnp.asarray(thumb_hw),
+            jnp.asarray(scales, jnp.float32),
+            jnp.asarray(avg_elevation, jnp.float32),
+        )
+        colors[s0:s1] = np.asarray(c)[:n]
+        weights[s0:s1] = np.asarray(w)[:n]
+    return colors, weights
+
+
 def _stack_thumbnails(graph, nodes):
     """Pad thumbnails to a common size; Lab uint8 -> float32."""
     thumbs = []
@@ -341,25 +500,15 @@ def generate_orthomosaic(
         [model_store[graph.get_node(n).payload.model_id].astype(jnp.float32) for n in nodes]
     )
 
-    # evaluate ALL cameras for every pixel (few thumbnails, cheap), then
-    # restrict choice to the 5 GPS-nearest per pixel like the reference
-    colors, weights, _ = _sample_cameras_kernel(
-        jnp.asarray(points, jnp.float32),
-        jnp.asarray(quats, jnp.float32),
-        jnp.asarray(poss, jnp.float32),
-        models,
-        jnp.asarray(thumbs),
-        jnp.asarray(thumb_hw),
-        jnp.asarray(scales),
-        jnp.ones(len(nodes), bool),
-        jnp.asarray(ctx.average_camera_elevation, jnp.float32),
-        jnp.asarray(gsd, jnp.float32),
-    )
-    colors = np.asarray(colors)  # [N, P, 3]
-    weights = np.asarray(weights)  # [N, P]
+    # per-pixel 5-NN gather-then-sample: cost O(P*K), never O(P*N)
+    # (reference per-pixel best-of-5NN, ortho.cpp:474-653)
+    colors, knn_w = _sample_knn_chunked(
+        points.astype(np.float32), knn.astype(np.int32),
+        quats, poss, models, thumbs, thumb_hw, scales,
+        ctx.average_camera_elevation,
+    )  # [P, K, 3], [P, K]
 
     P = len(flat_xy)
-    knn_w = np.take_along_axis(weights.T, knn, axis=1)  # [P, K]
     overlap = (knn_w > 0).sum(axis=1).astype(np.uint16)
     best_k = np.argmax(knn_w, axis=1)
     best_cam = knn[np.arange(P), best_k]
@@ -367,7 +516,7 @@ def generate_orthomosaic(
     got = (best_w > 0) & valid_z
 
     rgba = np.zeros((P, 4), np.uint8)
-    lab = colors[best_cam, np.arange(P)]  # [P, 3] Lab
+    lab = colors[np.arange(P), best_k]  # [P, 3] Lab
     import cv2
 
     bgr = cv2.cvtColor(
@@ -503,29 +652,73 @@ class OrthoJob:
         tiles_x = (width + tile_size - 1) // tile_size
         tiles_y = (height + tile_size - 1) // tile_size
 
-        # per-tile candidate cameras (findTileCameras, ortho.cpp:1104-1160):
-        # a few more than the per-pixel max so corner pixels still see
-        # their best camera after the per-pixel top-K selection
-        self._kc = min(MAX_CAMERAS_PER_PIXEL + 3, len(nodes))
+        # per-tile candidate cameras selected by GEOMETRY: a camera joins a
+        # tile when its projected ground footprint intersects the tile
+        # rectangle (findTileCameras, reference ortho.cpp:1104-1160) — a
+        # center-distance query would drop a camera that only clips a tile
+        # corner when tile extent ~ camera spacing. The per-pixel kernel
+        # still keeps only the top-MAX_CAMERAS_PER_PIXEL by weight.
+        quats_all = np.stack(
+            [np.asarray(graph.get_node(n).payload.orientation) for n in nodes]
+        )
+        poss_all = np.stack(
+            [np.asarray(graph.get_node(n).payload.position) for n in nodes]
+        )
+        fp = camera_ground_footprints(
+            quats_all, poss_all,
+            [
+                model_store[graph.get_node(n).payload.model_id]
+                for n in nodes
+            ],
+            b.mean_surface_z,
+        )  # [N, 4] min_x, max_x, min_y, max_y
+        k_base = min(MAX_CAMERAS_PER_PIXEL + 3, len(nodes))
         tile_cams: Dict[int, set] = {}
+        margin = gsd
         for ty in range(tiles_y):
+            ty_max = b.max_y - gsd * ty * tile_size + margin
+            ty_min = b.max_y - gsd * (ty + 1) * tile_size - margin
             for tx in range(tiles_x):
+                tx_min = b.min_x + gsd * tx * tile_size - margin
+                tx_max = b.min_x + gsd * (tx + 1) * tile_size + margin
+                hit = np.flatnonzero(
+                    (fp[:, 0] <= tx_max) & (fp[:, 1] >= tx_min)
+                    & (fp[:, 2] <= ty_max) & (fp[:, 3] >= ty_min)
+                )
+                sel = {int(i) for i in hit}
+                if len(sel) < k_base:
+                    # sparse coverage fallback: nearest cameras by center
+                    cx = 0.5 * (tx_min + tx_max)
+                    cy = 0.5 * (ty_min + ty_max)
+                    _, nn = tree.query([cx, cy], k=k_base)
+                    sel |= {int(i) for i in np.atleast_1d(nn)}
+                tile_cams[ty * tiles_x + tx] = sel
+
+        # fixed kernel width: bucket the largest per-tile candidate count
+        # so one compile serves every tile (padded slots carry weight 0)
+        kc_needed = max(len(s) for s in tile_cams.values())
+        self._kc = min(len(nodes), _next_pow2(max(kc_needed, k_base)))
+        # keep each tile's strongest kc candidates (closest footprint
+        # centers) when a tile sees more cameras than the kernel width
+        if kc_needed > self._kc:
+            fp_cx = 0.5 * (fp[:, 0] + fp[:, 1])
+            fp_cy = 0.5 * (fp[:, 2] + fp[:, 3])
+            for idx, sel in tile_cams.items():
+                if len(sel) <= self._kc:
+                    continue
+                ty, tx = divmod(idx, tiles_x)
                 cx = b.min_x + gsd * (tx + 0.5) * tile_size
                 cy = b.max_y - gsd * (ty + 0.5) * tile_size
-                _, nn = tree.query([cx, cy], k=self._kc)
-                tile_cams[ty * tiles_x + tx] = {int(i) for i in np.atleast_1d(nn)}
-
+                arr = np.asarray(sorted(sel))
+                d = np.hypot(fp_cx[arr] - cx, fp_cy[arr] - cy)
+                tile_cams[idx] = {int(i) for i in arr[np.argsort(d)[: self._kc]]}
         self._tile_cams = tile_cams
         self._order = compute_cache_aware_tile_order(
             tile_cams, tiles_x, tiles_y, cache_images
         )
         self._cache = FullResolutionImageCache(max_images=max(cache_images, self._kc))
-        self._quats_all = np.stack(
-            [np.asarray(graph.get_node(n).payload.orientation) for n in nodes]
-        )
-        self._poss_all = np.stack(
-            [np.asarray(graph.get_node(n).payload.position) for n in nodes]
-        )
+        self._quats_all = quats_all
+        self._poss_all = poss_all
         self._nodes = nodes
         self._bounds = b
         self._gsd = gsd
