@@ -16,3 +16,10 @@ Levenberg-Marquardt solver with Schur elimination in XLA.
 """
 
 __version__ = "0.1.0"
+
+from opencalibration_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compilation_cache as _enable_cache,
+)
+
+_enable_cache()
+del _enable_cache
