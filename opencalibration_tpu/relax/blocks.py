@@ -90,7 +90,11 @@ def robust_centroid(points, valid, huber_threshold):
         done = done | (min_w > max_w * 0.5)
         return (centroid, done), None
 
-    (centroid, _), _ = jax.lax.scan(stage, (centroid, jnp.asarray(False)), None, length=3)
+    # derive the initial `done` from the data so its varying-axes type
+    # matches the loop output under shard_map (a literal False is
+    # replicated and lax.scan rejects the replicated->varying carry)
+    done0 = jnp.sum(points) * 0.0 > 1.0
+    (centroid, _), _ = jax.lax.scan(stage, (centroid, done0), None, length=3)
     return centroid
 
 

@@ -103,6 +103,11 @@ class BuiltProblem:
     inverse_models: bool  # whether intrinsics leaves hold INVERSE coefficients
     track_points: np.ndarray  # [N, 3] triangulated points for surface output
     track_errors: np.ndarray  # [N]
+    # structure-cache metadata (refresh_problem): problem family, count of
+    # optimized (non-halo) camera slots, real (unpadded) mesh vertex count
+    kind: str = "mesh"  # "mesh" | "points" | "decomposition"
+    num_opt: int = 0
+    v_real: int = 0
 
 
 def _gather_cameras(
@@ -218,6 +223,7 @@ def build_decomposition_problem(
         surface_free_mask=jnp.zeros_like(free), cam_index=cam_index,
         model_index={}, mesh=None, inverse_models=False,
         track_points=np.zeros((0, 3)), track_errors=np.zeros(0),
+        kind="decomposition", num_opt=len(node_poses), v_real=0,
     )
 
 
@@ -662,6 +668,7 @@ def build_mesh_problem(
         model_index=model_index, mesh=mesh, inverse_models=True,
         track_points=np.concatenate(tp_list) if tp_list else np.zeros((0, 3)),
         track_errors=np.concatenate(te_list) if te_list else np.zeros(0),
+        kind="mesh", num_opt=len(node_poses), v_real=V_real,
     )
 
 
@@ -819,7 +826,133 @@ def build_points_problem(
         surface_free_mask=surface_free, cam_index=cam_index,
         model_index=model_index, mesh=None, inverse_models=False,
         track_points=np.stack(pts_list), track_errors=np.asarray(err_list),
+        kind="points", num_opt=len(node_poses), v_real=0,
     )
+
+
+def refresh_problem(
+    built: BuiltProblem,
+    graph: MeasurementGraph,
+    node_poses: Sequence[NodePose],
+    cam_models: Dict[int, CameraModel],
+    previous_surfaces: Sequence[SurfaceModel],
+    options: RelaxOptions,
+) -> bool:
+    """Refresh a cached BuiltProblem's parameter VALUES (poses, mesh z,
+    intrinsics), free masks, and anchor targets from current pipeline
+    state — without re-running measurement selection (grid filter, track
+    building, triangle assignment).
+
+    REPEAT iterations of a relax state re-solve the same structure with
+    slightly moved parameters; the reference pays a full Ceres setup per
+    pass (relax_stage.cpp:100-111), which at survey scale costs as much
+    as the solve itself. Structure that IS stale after a refresh — which
+    triangle a measurement's triangulated point falls in, fixed ray
+    directions — moves second-order between converging passes; anything
+    that changes it structurally (mesh refinement, edge refit, new
+    images) must invalidate the cache key instead (pipeline holds the
+    key). Returns False when the cached structure no longer matches (the
+    caller then rebuilds from scratch)."""
+    dt = np.asarray(built.params.quats).dtype
+    pose_by_id = {p.node_id: p for p in node_poses}
+
+    C = built.params.C
+    quats = np.array(np.asarray(built.params.quats), np.float64)
+    positions = np.array(np.asarray(built.params.positions), np.float64)
+    for nid, slot in built.cam_index.items():
+        p = pose_by_id.get(nid)
+        if p is not None:
+            q, pos = np.asarray(p.orientation, np.float64), np.asarray(p.position, np.float64)
+        else:
+            node = graph.get_node(nid)
+            if node is None:
+                return False
+            q = np.asarray(node.payload.orientation, np.float64)
+            pos = np.asarray(node.payload.position, np.float64)
+        if not np.isfinite(q).all():
+            q = DOWN_QUAT
+        if slot >= C or not np.isfinite(pos).all():
+            return False
+        quats[slot] = q
+        positions[slot] = pos
+
+    mesh_z = np.array(np.asarray(built.params.mesh_z), np.float64)
+    if built.kind == "mesh":
+        prev_mesh = None
+        for s in previous_surfaces:
+            if s.mesh is not None and s.mesh.num_vertices == built.mesh.num_vertices:
+                prev_mesh = s.mesh
+        if prev_mesh is None or not np.array_equal(
+            prev_mesh.triangles, built.mesh.triangles
+        ):
+            return False
+        built.mesh.vertices[:, 2] = prev_mesh.vertices[:, 2]
+        mesh_z[: built.v_real] = prev_mesh.vertices[:, 2]
+
+    focal = np.array(np.asarray(built.params.focal), np.float64)
+    principal = np.array(np.asarray(built.params.principal), np.float64)
+    radial = np.array(np.asarray(built.params.radial), np.float64)
+    tangential = np.array(np.asarray(built.params.tangential), np.float64)
+    for mid, slot in built.model_index.items():
+        m = cam_models.get(mid)
+        if m is None:
+            continue
+        m = m.astype(_wide())
+        if built.inverse_models:
+            m = D.convert_to_inverse(m)
+        focal[slot] = float(m.focal_length_pixels)
+        principal[slot] = np.asarray(m.principal_point)
+        radial[slot] = np.asarray(m.radial_distortion)
+        tangential[slot] = np.asarray(m.tangential_distortion)
+
+    built.params = dataclasses.replace(
+        built.params,
+        quats=jnp.asarray(quats, dt),
+        positions=jnp.asarray(positions, dt),
+        mesh_z=jnp.asarray(mesh_z, dt),
+        focal=jnp.asarray(focal, dt),
+        principal=jnp.asarray(principal, dt),
+        radial=jnp.asarray(radial, dt),
+        tangential=jnp.asarray(tangential, dt),
+    )
+
+    # free masks follow the option schedule (Brown tiers / principal live
+    # in the mask, not the block structure)
+    layout = built.layout
+    opt = np.arange(C) < built.num_opt
+    rot_free = jnp.asarray(opt) if options.orientation else jnp.zeros(C, bool)
+    if built.kind == "mesh":
+        mesh_free = jnp.arange(layout.V) < built.v_real
+        built.free_mask = layout.build_free_mask(
+            rot_free=rot_free, mesh_free=mesh_free,
+            focal_free=options.focal, principal_free=options.principal,
+            radial_tiers=options.radial_tier,
+        )
+        built.surface_free_mask = layout.build_free_mask(
+            rot_free=jnp.zeros(C, bool), mesh_free=mesh_free
+        )
+    elif built.kind == "points":
+        built.free_mask = layout.build_free_mask(
+            rot_free=rot_free, points_free=True,
+            focal_free=options.focal, principal_free=options.principal,
+            radial_tiers=options.radial_tier,
+            tangential_free=options.tangential,
+        )
+        built.surface_free_mask = layout.build_free_mask(
+            rot_free=jnp.zeros(C, bool), points_free=True
+        )
+
+    # the anchor prior follows the pass-entry mesh (the reference rebuilds
+    # each pass, anchoring to the entry z — same semantics)
+    for i, blk in enumerate(built.blocks):
+        if blk.name == "mesh_anchor":
+            z_now = jnp.asarray(
+                built.mesh.vertices[np.asarray(blk.data["v_i"]), 2], dt
+            )
+            data = dict(blk.data)
+            data["target"] = z_now
+            built.blocks[i] = dataclasses.replace(blk, data=data)
+    return True
 
 
 def solve_problem(
