@@ -364,35 +364,24 @@ def solve_group_batch(
     )
     G = batch.num_groups
     D = len(devices)
-    if D == 1 and G > 1:
-        # Single chip: run groups through ONE compiled single-group solve
-        # instead of a G-vmapped program — a vmapped while-loop body
-        # recompiles for every distinct G (minutes per compile on TPU),
-        # while serial dispatches of the shared-shape program compile once
-        # and execute back-to-back on the same MXU.
-        one = lambda t, g: jax.tree.map(lambda x: x[g : g + 1], t)
-        solved_parts, info_parts = [], []
-        for g in range(G):
-            s, i = _solve_batch(
-                one(params, g), one(blocks, g), free[g : g + 1],
-                surface_free[g : g + 1], batch.layout, pre_solve,
-                max_iterations,
-            )
-            solved_parts.append(s)
-            info_parts.append(i)
-        cat = lambda parts: jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *parts
-        )
-        return cat(solved_parts), cat(info_parts)
     if D > 1:
         pad = (-G) % D
-        if pad:
-            params = _duplicate_group(params, 0, pad)
-            blocks = _duplicate_group(blocks, 0, pad)
-            # padded replicas are fully frozen: they no-op in 1 iteration
-            frozen = jnp.zeros((pad, batch.layout.dim), bool)
-            free = jnp.concatenate([free, frozen])
-            surface_free = jnp.concatenate([surface_free, frozen])
+    else:
+        # Single chip: bucket the group count to a power of two so ALL
+        # groups run in ONE vmapped dispatch with a bounded compile
+        # family ({1,2,4,8,...} x layouts, served by the persistent
+        # compilation cache) — small pose-group systems batched along G
+        # fill the MXU far better than G serial dispatches
+        # (reference parallelism semantics: relax_stage.cpp:100-111).
+        pad = _bucket(G, minimum=1) - G
+    if pad:
+        params = _duplicate_group(params, 0, pad)
+        blocks = _duplicate_group(blocks, 0, pad)
+        # padded replicas are fully frozen: they no-op in 1 iteration
+        frozen = jnp.zeros((pad, batch.layout.dim), bool)
+        free = jnp.concatenate([free, frozen])
+        surface_free = jnp.concatenate([surface_free, frozen])
+    if D > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.asarray(devices), ("groups",))
@@ -405,7 +394,7 @@ def solve_group_batch(
         params, blocks, free, surface_free, batch.layout, pre_solve,
         max_iterations,
     )
-    if D > 1 and (-G) % D:
+    if pad:
         solved = jax.tree.map(lambda x: x[:G], solved)
         info = jax.tree.map(lambda x: x[:G], info)
     return solved, info
@@ -413,20 +402,31 @@ def solve_group_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "mesh", "max_iterations", "init_lambda"),
+    static_argnames=(
+        "layout", "mesh", "max_iterations", "n_local", "init_lambda",
+    ),
 )
 def _solve_shared(
-    params, blocks, free, layout, mesh, max_iterations, init_lambda=1.0,
-    parameter_tolerance=1e-8, function_tolerance=1e-6,
+    params, blocks, free, layout, mesh, max_iterations, n_local=None,
+    init_lambda=1.0, parameter_tolerance=1e-8, function_tolerance=1e-6,
 ):
-    """Joint LM over all groups with the intrinsics tail shared.
+    """Joint LM over all groups with the trailing tangent block SHARED.
+
+    `n_local` splits the tangent: slots < n_local are group-local (poses,
+    and points when present), slots >= n_local are one shared copy across
+    every group. For mesh problems the caller shares [mesh_z, intrinsics]
+    (n_local = mesh_off, exact because mesh problems carry no points) —
+    making the joint solve THE global calibration problem (one surface,
+    one set of intrinsics, all cameras) minus cross-group edges; for
+    point problems only the intrinsics tail is shared (n_local =
+    focal_off).
 
     One global trust-region loop: per iteration every group assembles its
-    damped normal equations, Schur-eliminates its local (pose/mesh/point)
-    slots, the reduced |intrinsics|^2 system is psum-reduced over the
-    'groups' mesh axis and solved replicated, local steps back-substitute,
-    and a GLOBAL cost (psum over groups) drives one shared accept/lambda —
-    exactly the trust-region trajectory of the joint problem
+    damped normal equations, Schur-eliminates its local slots, the
+    reduced |shared|^2 system is psum-reduced over the 'groups' mesh axis
+    and solved replicated, local steps back-substitute, and a GLOBAL cost
+    (psum over groups) drives one shared accept/lambda — exactly the
+    trust-region trajectory of the joint problem
     (reference solves the single biggest group instead,
     relax_stage.cpp:100-111 + pipeline.cpp:634; this scales past it)."""
     from jax import lax
@@ -438,7 +438,8 @@ def _solve_shared(
 
     dtype = params.quats.dtype
     T = layout.dim
-    n_local = layout.focal_off
+    if n_local is None:
+        n_local = layout.focal_off
     n_shared = T - n_local
 
     def device_fn(params, blocks, free):
@@ -474,8 +475,15 @@ def _solve_shared(
             g_l = g[:, :n_local]
             g_s = g[:, n_local:]
 
-            X = jnp.linalg.solve(
-                H_ll, jnp.concatenate([H_ls, g_l[..., None]], axis=-1)
+            # Jacobi-scaled block solves (see lm._jacobi_solve): required
+            # for f32/TPU factorizations over mixed-unit tangents
+            s_l = jax.lax.rsqrt(
+                jnp.clip(jax.vmap(jnp.diag)(H_ll), 1e-24, 1e32)
+            )  # [Gl, nl]
+            H_ll_s = H_ll * s_l[:, :, None] * s_l[:, None, :]
+            B = jnp.concatenate([H_ls, g_l[..., None]], axis=-1)
+            X = s_l[:, :, None] * jnp.linalg.solve(
+                H_ll_s, s_l[:, :, None] * B
             )
             Hinv_Hls = X[..., :n_shared]
             Hinv_gl = X[..., n_shared]
@@ -497,7 +505,7 @@ def _solve_shared(
             rhs = packed[:, n_shared]
             dss = jnp.clip(packed[:, n_shared + 1], 1e-10, 1e32)
             S = S + jnp.diag(lam * dss) + jnp.diag((~free_s).astype(dtype))
-            d_s = -jnp.linalg.solve(S, rhs)
+            d_s = -lm._jacobi_solve(S, rhs)
             d_s = jnp.where(free_s, d_s, 0.0)
 
             d_l = -(Hinv_gl + jnp.einsum("gls,s->gl", Hinv_Hls, d_s))
@@ -552,12 +560,14 @@ def _solve_shared(
     rep = lm.SolveInfo(
         initial_cost=P(), final_cost=P(), iterations=P()
     )
-    return shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(gspec, bspec, P("groups")),
-        out_specs=(gspec, rep),
-    )(params, blocks, free)
+    # f32 matmul inputs (TPU default is bfloat16) — see lm._solve_impl
+    with jax.default_matmul_precision("float32"):
+        return shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(gspec, bspec, P("groups")),
+            out_specs=(gspec, rep),
+        )(params, blocks, free)
 
 
 def solve_group_batch_shared(
@@ -568,35 +578,80 @@ def solve_group_batch_shared(
 ) -> Tuple[RelaxParams, "lm.SolveInfo"]:
     """Joint solve of a shared-intrinsics batch (built with
     shared_intrinsics=True): groups data-parallel over the device mesh,
-    intrinsics coupled exactly via the distributed Schur complement."""
+    the shared tangent tail coupled exactly via the distributed Schur
+    complement.
+
+    For mesh problems the shared tail is [mesh_z, intrinsics] — every
+    group carries a copy of the SAME surface, so sharing it recovers the
+    global calibration problem; per-group private meshes would let focal
+    drift along the focal/height valley (each tiny group's mesh absorbing
+    the scale change). For point problems only intrinsics are shared."""
     assert batch.shared_intrinsics, "build the batch with shared_intrinsics"
     devices = list(jax.devices()) if devices is None else list(devices)
+    layout = batch.layout
     params, blocks, free = batch.params, batch.blocks, batch.free
-    if pre_solve:
-        # the surface pre-solve touches only local (mesh/point) slots —
-        # groups are independent there, reuse the plain batched solver
-        params, _ = _solve_batch(
-            params, blocks, batch.surface_free,
-            jnp.zeros_like(batch.surface_free), batch.layout, False,
-            max_iterations,
-        )
+    surface_free = batch.surface_free
     G = batch.num_groups
+
+    # share [mesh_z, intrinsics] when the tail is contiguous (no points)
+    # and every group's mesh copy is still value-identical
+    share_mesh = layout.V > 0 and layout.P == 0
+    if share_mesh:
+        mz = np.asarray(params.mesh_z)
+        share_mesh = bool(np.allclose(mz, mz[0:1], atol=1e-9, equal_nan=True))
+    n_local = layout.mesh_off if share_mesh else layout.focal_off
+
+    # block instances living ENTIRELY in the shared tail (mesh priors,
+    # radial monotonicity) are duplicated per group copy — scale them by
+    # 1/G so the joint objective counts them once
+    def _downweight(b):
+        all_shared = jnp.all(b.slots >= n_local, axis=-1)
+        return dataclasses.replace(
+            b, weight=jnp.where(all_shared, b.weight / G, b.weight)
+        )
+
+    blocks = tuple(_downweight(b) for b in blocks)
+
     D = min(len(devices), G)
     pad = (-G) % D
     if pad:
         params = _duplicate_group(params, 0, pad)
         blocks = _duplicate_group(blocks, 0, pad)
-        free = jnp.concatenate(
-            [free, jnp.zeros((pad, batch.layout.dim), bool)]
+        # padded replicas must carry ZERO block weight: unlike the plain
+        # batched solve (independent per-lane accept), the shared solve
+        # psums costs/normal equations across lanes — a live duplicate
+        # would double-count group 0's measurements in the joint problem
+        blocks = tuple(
+            dataclasses.replace(b, weight=b.weight.at[G:].set(0.0))
+            for b in blocks
         )
+        frozen = jnp.zeros((pad, layout.dim), bool)
+        free = jnp.concatenate([free, frozen])
+        surface_free = jnp.concatenate([surface_free, frozen])
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     mesh = Mesh(np.asarray(devices[:D]), ("groups",))
     sh = NamedSharding(mesh, P("groups"))
     put = lambda t: jax.tree.map(lambda x: jax.device_put(x, sh), t)
+    params, blocks = put(params), put(blocks)
+    free, surface_free = put(free), put(surface_free)
+    if pre_solve:
+        if share_mesh:
+            # the pre-solve moves the (shared) surface: solve it jointly
+            # so every group's copy stays identical
+            params, _ = _solve_shared(
+                params, blocks, surface_free, layout, mesh,
+                max_iterations, n_local=n_local,
+            )
+        else:
+            # surface slots are group-local (points): independent lanes
+            params, _ = _solve_batch(
+                params, blocks, surface_free,
+                jnp.zeros_like(surface_free), layout, False,
+                max_iterations,
+            )
     solved, info = _solve_shared(
-        put(params), put(blocks), put(free), batch.layout, mesh,
-        max_iterations,
+        params, blocks, free, layout, mesh, max_iterations, n_local=n_local,
     )
     if pad:
         solved = jax.tree.map(lambda x: x[:G], solved)
@@ -611,7 +666,10 @@ def extract_group_params(
     intrinsics leaves (built.model_index was rewritten to global slots)."""
     b = batch.builts[g]
     M = batch.layout.M if batch.shared_intrinsics else b.params.M
-    pg = jax.tree.map(lambda x: x[g], solved)
+    # pull the group slice off the mesh: solved leaves may be committed to
+    # a multi-device sharding, and mixing committed with uncommitted
+    # arrays downstream (model conversion jits) is an error
+    pg = jax.tree.map(lambda x: jnp.asarray(np.asarray(x[g])), solved)
     return RelaxParams(
         quats=pg.quats[: b.params.C],
         positions=pg.positions[: b.params.C],

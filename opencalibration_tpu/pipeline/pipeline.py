@@ -118,6 +118,11 @@ class Pipeline:
         self._prev_loaded_ids: List[int] = []
         self._prev_linked_ids: List[int] = []
 
+        # problem-structure cache across REPEAT iterations of one relax
+        # state (see stages.RelaxPlan / problem_builder.refresh_problem)
+        self._relax_plan = None
+        self._edges_version = 0  # bumped when edge inlier sets change
+
         self.step_callback: Optional[Callable[[StepCompletionInfo], None]] = None
 
         # stage-skip flags (reference pipeline.cpp:102-106 defaults)
@@ -198,6 +203,7 @@ class Pipeline:
             idx = PipelineState.ORDER.index(state)
             self._state = PipelineState.ORDER[min(idx + 1, len(PipelineState.ORDER) - 1)]
             self._state_run_count = 0
+            self._relax_plan = None  # cache is per-state
         elif transition == "REPEAT":
             self._state_run_count += 1
         return self._state
@@ -397,19 +403,54 @@ class Pipeline:
         self._mesh_level_triangles = 0
         return "REPEAT"
 
+    def _relax_structure_key(self, options: RelaxOptions, trim, last) -> tuple:
+        """Cache key for the relax problem STRUCTURE: anything that changes
+        measurement selection, block families, or group membership. Values
+        (poses, mesh z, intrinsics) are refreshed on reuse instead."""
+        mesh_topo = tuple(
+            (s.mesh.num_vertices, s.mesh.num_triangles)
+            for s in self.surfaces
+            if s.mesh is not None
+        )
+        struct = (
+            options.ground_mesh, options.ground_plane, options.points_3d,
+            options.any_intrinsics, options.radial_tier > 0,
+            options.minimal_mesh, round(options.grid_fraction, 9),
+        )
+        return (
+            self._state, self.graph.size_nodes(), self.graph.size_edges(),
+            self._edges_version, mesh_topo, struct, trim, last,
+        )
+
     def _global_relax(self, options: RelaxOptions, trim: Optional[int], last: bool) -> List[int]:
         # NOTE: intrinsics tiers deliberately share one compiled LM module
         # (the Brown tier / principal toggles live in the free-mask ARRAY,
         # not the block structure) — do not clear jit caches on option
         # changes; _maybe_clear_jit_caches bounds cache growth instead.
-        self._relax_stage.init(
-            self.graph, [], self.gps_positions, self.model_store,
-            relax_all=True, disable_parallelism=last, options=options,
+        key = self._relax_structure_key(options, trim, last)
+        plan = (
+            self._relax_plan
+            if self._relax_plan is not None and self._relax_plan.key == key
+            else None
         )
-        if trim is not None:
-            self._relax_stage.trim_groups(trim)
+        if plan is not None:
+            self._relax_stage.reuse_plan(plan, self.graph, self.model_store, options)
+        else:
+            self._relax_stage.init(
+                self.graph, [], self.gps_positions, self.model_store,
+                relax_all=True, disable_parallelism=last, options=options,
+            )
+            if trim is not None:
+                self._relax_stage.trim_groups(trim)
         self._relax_stage.run_all(self.graph, self.surfaces)
-        relaxed = self._relax_stage.finalize(self.graph, self.model_store)
+        # edge refits are deferred to state exit (one per state)
+        relaxed = self._relax_stage.finalize(self.graph, self.model_store, refit=False)
+        new_plan = self._relax_stage.last_plan
+        if new_plan is not None and (options.ground_mesh or options.ground_plane):
+            new_plan.key = key
+            self._relax_plan = new_plan
+        else:
+            self._relax_plan = None
         surfaces = [
             s for s in self._relax_stage.surfaces() if s.mesh is not None or s.cloud
         ]
@@ -458,9 +499,24 @@ class Pipeline:
                 orientation=True, ground_mesh=True, focal=True,
                 principal=True, radial_tier=3,
             )
-        relaxed = self._global_relax(options, trim=1, last=False)
+        # The reference calibrates intrinsics on the single biggest group
+        # only (trim_groups(1), pipeline.cpp:634). Here ALL groups
+        # participate: the batched solver couples the shared intrinsics
+        # tail across groups exactly (psum-Schur, group_solver.py), so
+        # calibration uses the whole survey's measurements.
+        relaxed = self._global_relax(options, trim=None, last=False)
         self._emit([], [], relaxed, "camera parameter relax", surfaces_updated=True)
-        return "NEXT" if self._state_run_count >= RELAX_MAX_ITERATIONS else "REPEAT"
+        if self._state_run_count >= RELAX_MAX_ITERATIONS:
+            # ONE deferred maximum-likelihood edge refit with the final
+            # intrinsics (the reference refits per finalize,
+            # relax_group.cpp:119-178; per-tier refits cost as much as the
+            # solves and feed back only second-order inlier changes)
+            from opencalibration_tpu.pipeline.stages import refit_all_edges
+
+            refit_all_edges(self.graph, self.model_store)
+            self._edges_version += 1
+            return "NEXT"
+        return "REPEAT"
 
     def _run_final_global_relax(self) -> str:
         if self.skip_final_global_relax:

@@ -361,21 +361,29 @@ class LinkStage:
                 stack_cameras([c[10] for c in chunk_p]),
                 stack_cameras([c[11] for c in chunk_p]),
             )
+            # keep DEVICE results: jax dispatch is async, so run() returns
+            # while the chunks still execute — the relax stage's host-side
+            # problem building then overlaps the link device work (the
+            # reference interleaves load/link/relax runners the same way,
+            # pipeline.cpp:548-556); finalize() synchronizes.
+            self._results.append((chunk, n, out))
+
+    def finalize(self, graph: MeasurementGraph) -> List[int]:
+        """Deterministic sorted edge insertion (link_stage.cpp:119-143)."""
+        resolved = []
+        for chunk, n, out in self._results:
             out_np = jax.tree.map(np.asarray, out)
             for i in range(n):
                 source, dest, sel1, sel2 = chunk[i][:4]
-                self._results.append(
+                resolved.append(
                     (
                         source, dest, sel1, sel2,
                         {k: v[i] for k, v in out_np.items()},
                     )
                 )
-
-    def finalize(self, graph: MeasurementGraph) -> List[int]:
-        """Deterministic sorted edge insertion (link_stage.cpp:119-143)."""
         new_node_ids = set()
         for source, dest, sel1, sel2, out in sorted(
-            self._results, key=lambda r: (r[0], r[1])
+            resolved, key=lambda r: (r[0], r[1])
         ):
             matched = out["matched"]
             inliers = out["inliers"] & matched
@@ -420,6 +428,25 @@ class RelaxGroupState:
     poses: List[NodePose]
     cam_models: Dict[int, CameraModel]
     edge_ids: List[int]
+    # node ids whose solved poses finalize() writes back to the graph;
+    # None = all poses. Multi-group intrinsics runs restrict write-back to
+    # the CORE: cross-group halo duplicates are co-optimized locally but
+    # owned (written) by their home group.
+    write_ids: Optional[set] = None
+
+
+@dataclasses.dataclass
+class RelaxPlan:
+    """Cached problem structure for REPEAT iterations of one relax state:
+    groups + built problems + the stacked batch. The pipeline owns the
+    cache key (graph/mesh/options structure); RelaxStage refreshes the
+    parameter values each reuse (problem_builder.refresh_problem)."""
+
+    key: tuple
+    groups: List[RelaxGroupState]
+    builts: list  # List[Optional[BuiltProblem]], one per group
+    live: List[int]
+    pre_solve: bool
 
 
 class RelaxStage:
@@ -438,6 +465,8 @@ class RelaxStage:
         self._options = RelaxOptions()
         self._surfaces: List[SurfaceModel] = []
         self.use_batched_solver = use_batched_solver
+        self._plan: Optional[RelaxPlan] = None  # set by reuse_plan
+        self.last_plan: Optional[RelaxPlan] = None  # exported by run_all
 
     def init(
         self,
@@ -452,6 +481,8 @@ class RelaxStage:
         self._options = options
         self._surfaces = []
         self._groups = []
+        self._plan = None
+        self.last_plan = None
         ids = (
             sorted(graph.node_ids())
             if relax_all
@@ -484,42 +515,105 @@ class RelaxStage:
         by_label: Dict[int, List[int]] = {}
         for nid, lab in zip(ids, labels):
             by_label.setdefault(int(lab), []).append(nid)
+        # single group gets a depth-2 connection halo — the incremental
+        # INITIAL_PROCESSING case: the new batch is co-optimized with its
+        # already-placed 10-NN neighbours so it anchors to the solved
+        # survey instead of relaxing against itself only
+        # (reference relax_stage.cpp:95: depth = num_groups > 1 ? 0 : 2)
+        depth = 0 if len(by_label) > 1 else 2
         for lab in sorted(by_label, key=lambda l: (-len(by_label[l]), l)):
             g_ids = by_label[lab]
             self._groups.append(
-                self._build_group(graph, g_ids, gps_positions, model_store)
+                self._build_group(graph, g_ids, gps_positions, model_store,
+                                  connection_depth=depth)
             )
 
     def _build_group(
-        self, graph, g_ids, gps_positions, model_store
+        self, graph, g_ids, gps_positions, model_store, connection_depth=0
     ) -> RelaxGroupState:
         """Working set: copies of poses + models, edges among 10-NN GPS
-        neighbours, depth-1 frozen halo (relax_group.cpp:14-111)."""
+        neighbours; `connection_depth` rounds of frontier expansion add
+        connected out-of-group nodes as CO-OPTIMIZED poses with their
+        edges into the core (reference relax_group.cpp:14-111: halo nodes
+        join _local_poses; only edges with one endpoint in the original
+        group are optimized)."""
         import scipy.spatial
 
-        gset = set(g_ids)
+        core = set(g_ids)
         ids = sorted(gps_positions.keys())
         pts = np.stack([gps_positions[i] for i in ids]) if ids else np.zeros((0, 2))
         tree = scipy.spatial.cKDTree(pts) if len(ids) else None
         id_arr = np.asarray(ids)
 
         edge_ids = set()
-        for nid in g_ids:
+        directly_connected = set()
+
+        # Intrinsics runs additionally take CROSS-group edges whose SOURCE
+        # lives in this group (source-side ownership: each cross edge is
+        # counted by exactly one group in the joint objective). The out-of-
+        # group endpoint joins as a CO-OPTIMIZED halo duplicate — its home
+        # group owns the written-back pose; the local copy is free so the
+        # measurement never drags the shared [mesh_z | intrinsics] tail
+        # back toward the entry values (a FROZEN boundary copy pins the
+        # focal/height valley at the prior: measured 420 -> 417.8 recovery
+        # vs truth 400 on the shared-intrinsics fixture). This mirrors the
+        # reference's halo semantics (relax_group.cpp:40-66: halo nodes
+        # join _local_poses as optimized) applied per-group.
+        cross_ok = self._options.any_intrinsics
+        cross_halo = set()
+
+        def build_edges(nid):
             node = graph.get_node(nid)
             if tree is None or nid not in gps_positions:
-                continue
+                return
             k = min(KNN_NEIGHBOURS + 1, len(ids))
             _, nn = tree.query(gps_positions[nid], k=k)
             ideal = {int(id_arr[j]) for j in np.atleast_1d(nn)} - {nid}
             for eid in node.edges:
                 e = graph.get_edge(eid)
                 other = e.dest if e.source == nid else e.source
-                if other in ideal and other in gset:
-                    edge_ids.add(eid)
+                if other in ideal:
+                    directly_connected.add(other)
+                    # an edge is optimized iff its other endpoint is in
+                    # the ORIGINAL group (relax_group.cpp:96-108): core
+                    # edges from the core pass, halo->core edges from the
+                    # frontier pass; halo-halo edges never join
+                    if other in core:
+                        edge_ids.add(eid)
+                    elif cross_ok and nid in core and e.source == nid:
+                        onode = graph.get_node(other)
+                        if onode is not None and np.isfinite(
+                            np.asarray(onode.payload.orientation)
+                        ).all() and np.isfinite(
+                            np.asarray(onode.payload.position)
+                        ).all():
+                            edge_ids.add(eid)
+                            cross_halo.add(other)
+
+        local = list(g_ids)
+        for nid in g_ids:
+            build_edges(nid)
+        for _ in range(connection_depth):
+            newly = sorted(directly_connected - set(local))
+            for nid in newly:
+                node = graph.get_node(nid)
+                if node is None or not np.isfinite(
+                    np.asarray(node.payload.position)
+                ).all():
+                    continue
+                local.append(nid)
+                build_edges(nid)
+        cross_halo -= set(local)
+        local.extend(sorted(cross_halo))
 
         poses = []
-        cam_models = {}
-        for nid in sorted(g_ids, key=lambda i: graph.get_node(i).payload.path):
+        # intrinsics runs carry the FULL model store so every group's
+        # model slot list is identical — the shared-intrinsics batch then
+        # aligns groups on one global intrinsics tail with no permutation
+        cam_models = (
+            dict(model_store) if self._options.any_intrinsics else {}
+        )
+        for nid in sorted(local, key=lambda i: graph.get_node(i).payload.path):
             node = graph.get_node(nid)
             poses.append(
                 NodePose(
@@ -534,12 +628,44 @@ class RelaxStage:
         return RelaxGroupState(
             node_ids=list(g_ids), poses=poses, cam_models=cam_models,
             edge_ids=sorted(edge_ids),
+            write_ids=set(g_ids) if cross_halo else None,
         )
 
     def trim_groups(self, n: int):
         """Keep only the n biggest groups (intrinsics calibration uses the
         single biggest, reference pipeline.cpp:634)."""
         self._groups = self._groups[:n]
+
+    def reuse_plan(
+        self,
+        plan: RelaxPlan,
+        graph: MeasurementGraph,
+        model_store: Dict[int, CameraModel],
+        options: RelaxOptions,
+    ):
+        """Enter a REPEAT iteration from a cached plan instead of init():
+        restore the groups, refresh their poses/models from the graph —
+        run_all will then refresh the built problems' values in place of
+        rebuilding structure."""
+        self._options = options
+        self._surfaces = []
+        self._groups = plan.groups
+        self._plan = plan
+        self.last_plan = None
+        for g in self._groups:
+            for pose in g.poses:
+                node = graph.get_node(pose.node_id)
+                if node is None:
+                    continue
+                pose.orientation = np.asarray(
+                    node.payload.orientation, np.float64
+                ).copy()
+                pose.position = np.asarray(
+                    node.payload.position, np.float64
+                ).copy()
+            for mid in list(g.cam_models):
+                if mid in model_store:
+                    g.cam_models[mid] = model_store[mid]
 
     def run_all(self, graph: MeasurementGraph, previous_surfaces=()):
         self._surfaces = []
@@ -558,31 +684,67 @@ class RelaxStage:
             build_group_batch,
             extract_group_params,
             solve_group_batch,
+            solve_group_batch_shared,
         )
-        from opencalibration_tpu.relax.problem_builder import apply_solution
+        from opencalibration_tpu.relax.problem_builder import (
+            apply_solution,
+            refresh_problem,
+        )
         from opencalibration_tpu.relax.relax import build_problem
 
         from opencalibration_tpu.utils.performance import PerformanceMeasure
 
-        builts = []
+        builts = None
         pre_solve = False
-        with PerformanceMeasure("relax build problems"):
-            for g in self._groups:
-                built, pre = build_problem(
-                    graph, g.poses, g.cam_models, g.edge_ids, self._options,
-                    previous_surfaces,
+        if self._plan is not None:
+            with PerformanceMeasure("relax refresh problems"):
+                ok = all(
+                    b is None
+                    or refresh_problem(
+                        b, graph, g.poses, g.cam_models,
+                        previous_surfaces, self._options,
+                    )
+                    for g, b in zip(self._groups, self._plan.builts)
                 )
-                builts.append(built)
-                pre_solve = pre_solve or (pre and built is not None)
+            if ok:
+                builts = self._plan.builts
+                pre_solve = self._plan.pre_solve
+            self._plan = None
+        if builts is None:
+            builts = []
+            with PerformanceMeasure("relax build problems"):
+                for g in self._groups:
+                    built, pre = build_problem(
+                        graph, g.poses, g.cam_models, g.edge_ids,
+                        self._options, previous_surfaces,
+                    )
+                    builts.append(built)
+                    pre_solve = pre_solve or (pre and built is not None)
 
         live = [i for i, b in enumerate(builts) if b is not None]
         self._surfaces = [SurfaceModel() for _ in self._groups]
         if not live:
             return
+        self.last_plan = RelaxPlan(
+            key=(), groups=self._groups, builts=builts, live=live,
+            pre_solve=pre_solve,
+        )
+        # several groups optimizing the SAME camera models: couple the
+        # intrinsics tail exactly across groups with the psum-Schur joint
+        # solver — scaling past the reference's single-biggest-group
+        # intrinsics shortcut (pipeline.cpp:634)
+        shared = self._options.any_intrinsics and len(live) > 1
         with PerformanceMeasure("relax batch groups"):
-            batch = build_group_batch([builts[i] for i in live])
+            batch = build_group_batch(
+                [builts[i] for i in live], shared_intrinsics=shared
+            )
         with PerformanceMeasure("relax solve"):
-            solved, info = solve_group_batch(batch, pre_solve=pre_solve)
+            if shared:
+                solved, info = solve_group_batch_shared(
+                    batch, pre_solve=pre_solve
+                )
+            else:
+                solved, info = solve_group_batch(batch, pre_solve=pre_solve)
         if info is not None:
             from opencalibration_tpu.utils.performance import add_event_count
 
@@ -601,12 +763,23 @@ class RelaxStage:
             )
 
     def finalize(
-        self, graph: MeasurementGraph, model_store: Dict[int, CameraModel]
+        self,
+        graph: MeasurementGraph,
+        model_store: Dict[int, CameraModel],
+        refit: bool = True,
     ) -> List[int]:
+        """Write poses/models back. ``refit=False`` defers the
+        maximum-likelihood edge refit (reference runs it per finalize,
+        relax_group.cpp:119-178); the pipeline defers it to the END of
+        CAMERA_PARAMETER_RELAX — one refit per state instead of one per
+        tier iteration, which both saves its wall time and keeps the
+        cached problem structure valid across tiers."""
         optimized = []
         model_changed = self._options.any_intrinsics
         for g in self._groups:
             for pose in g.poses:
+                if g.write_ids is not None and pose.node_id not in g.write_ids:
+                    continue  # halo duplicate: home group owns the write
                 node = graph.get_node(pose.node_id)
                 if node is None:
                     continue
@@ -616,7 +789,7 @@ class RelaxStage:
             if model_changed:
                 for mid, m in g.cam_models.items():
                     model_store[mid] = m
-        if model_changed:
+        if model_changed and refit:
             refit_all_edges(graph, model_store)
         self._groups = []
         return sorted(set(optimized))

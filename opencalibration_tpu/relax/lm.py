@@ -158,6 +158,17 @@ def normal_equations(params: RelaxParams, blocks: Sequence[BlockSpec], layout, f
     return H, g
 
 
+def _jacobi_solve(A, b):
+    """Solve A x = b with symmetric Jacobi preconditioning:
+    (S A S)(S^-1 x) = S b, S = diag(A)^-1/2. Algebraically identical, but
+    the scaled system is well-conditioned enough for f32 factorization
+    when tangent slots mix rotation (~1), mesh-z (~1e1 m) and focal
+    (~1e2..1e3 px) units."""
+    s = jax.lax.rsqrt(jnp.clip(jnp.diag(A), 1e-24, 1e32))
+    As = A * s[:, None] * s[None, :]
+    return s * jnp.linalg.solve(As, s * b)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SolveInfo:
@@ -188,6 +199,24 @@ def solve(
     shapes) — builders pad block counts to buckets so repeated pipeline
     iterations reuse the compiled solver. Returns (params, SolveInfo).
     `blocks` must be a tuple (hashable pytree structure)."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_impl(
+            params, blocks, layout, free_mask, max_iterations, init_lambda,
+            parameter_tolerance, function_tolerance,
+        )
+
+
+def _solve_impl(
+    params, blocks, layout, free_mask, max_iterations, init_lambda,
+    parameter_tolerance, function_tolerance,
+):
+    # NOTE on TPU numerics: the caller wraps this trace in
+    # default_matmul_precision("float32") — TPU matmuls/einsums otherwise
+    # run with bfloat16 inputs, which destroys the normal equations
+    # (measured: intrinsics calibration stalls at its prior in f32 while
+    # the identical CPU x64 run converges). The linear solves are Jacobi-
+    # scaled for the same reason: f32 Cholesky on raw H mixes rotation
+    # (~1) and focal (~1e2..1e3 px) scales.
     blocks = tuple(blocks)
     dtype = params.quats.dtype
     free = jnp.asarray(free_mask)
@@ -207,7 +236,7 @@ def solve(
         frozen = ~free
         A = H + lam * jnp.diag(diag)
         A = A + jnp.diag(frozen.astype(dtype))
-        delta = -jnp.linalg.solve(A, g)
+        delta = -_jacobi_solve(A, g)
         delta = jnp.where(free, delta, 0.0)
 
         p_new = layout.retract(p, delta)

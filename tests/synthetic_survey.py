@@ -31,13 +31,19 @@ def make_texture(seed=0, size=512):
     return np.clip(tex, 0, 1).astype(np.float32)
 
 
-def camera_grid(rows, cols, spacing=15.0, seed=1):
+def camera_grid(rows, cols, spacing=15.0, seed=1, alt_pattern="row"):
     """Ground-truth poses: nadir + random small yaw; positions on a grid.
 
-    Rows alternate between two flight altitudes: over flat terrain a
-    single-altitude nadir survey leaves focal/depth as an exact null
-    direction (similar triangles), so intrinsics calibration needs either
-    terrain relief or altitude variation to be observable.
+    Altitude alternates between two flight levels ('row': per row,
+    'checker': per image): over flat terrain a single-altitude nadir
+    survey leaves focal/depth as an exact null direction (similar
+    triangles), so intrinsics calibration needs either terrain relief or
+    altitude variation to be observable. Prefer 'row': 'checker' gives
+    every ADJACENT image pair a ~45% scale jump, which degrades matching
+    enough to drive the calibration schedule up the focal/radial valley
+    even single-group (measured: focal 400->561). To mix altitudes inside
+    small intrinsics groups, instead make rows shorter than the group
+    size so every spectral group must span >=2 rows.
     """
     import jax.numpy as jnp
 
@@ -51,7 +57,8 @@ def camera_grid(rows, cols, spacing=15.0, seed=1):
     positions, quats = [], []
     for r in range(rows):
         for c in range(cols):
-            alt = ALTITUDE + (r % 2) * 25.0
+            alt_bit = (r + c) % 2 if alt_pattern == "checker" else r % 2
+            alt = ALTITUDE + alt_bit * 25.0
             positions.append([30.0 + c * spacing, 30.0 + r * spacing, alt])
             yaw = rng.uniform(-0.15, 0.15)
             q = quat_multiply(
@@ -129,7 +136,7 @@ def render_views(tex, positions, quats, ground_extent=150.0,
 
 def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
                  focal_px_tag=None, relief_amplitude=0.0,
-                 relief_wavelength=70.0):
+                 relief_wavelength=70.0, alt_pattern="row"):
     """Write JPEGs + sidecar geotags. Returns (paths, positions, quats).
 
     focal_px_tag: focal length written to the geotag sidecars (defaults to
@@ -141,7 +148,7 @@ def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
 
     if focal_px_tag is None:
         focal_px_tag = FOCAL
-    positions, quats = camera_grid(rows, cols, spacing, seed + 1)
+    positions, quats = camera_grid(rows, cols, spacing, seed + 1, alt_pattern)
     # scale the ground texture to the survey footprint so large benchmark
     # surveys still see structured ground everywhere
     extent = max(150.0, float(positions[:, :2].max()) + 60.0)
