@@ -147,6 +147,9 @@ class GroupBatch:
     num_groups: int  # real (unpadded) group count
     shared_intrinsics: bool = False  # intrinsics tail aligned on one
     # global model list (every group carries identical intrinsics leaves)
+    # local->global model slot permutation per group (shared batches);
+    # kept so refresh_group_batch can re-translate masks without a rebuild
+    model_perms: Optional[List[Optional[np.ndarray]]] = None
 
 
 def build_group_batch(
@@ -190,25 +193,26 @@ def build_group_batch(
                     leaves["radial"][global_slot[mid]] = np.asarray(b.params.radial)[k]
                     leaves["tangential"][global_slot[mid]] = np.asarray(b.params.tangential)[k]
                     break
+        padded = []
         for i, b in enumerate(builts):
             perm = np.zeros(max(1, b.params.M), np.int64)
             for mid, k in b.model_index.items():
                 perm[k] = global_slot[mid]
             model_perms[i] = perm
             b.model_index = {mid: global_slot[mid] for mid in b.model_index}
-        padded = []
-        for b in builts:
-            p = _pad_params(b.params, C, V, P, b.params.M)
-            dt = np.asarray(p.focal).dtype
-            padded.append(
-                dataclasses.replace(
-                    p,
-                    focal=jnp.asarray(leaves["focal"], dt),
-                    principal=jnp.asarray(leaves["principal"], dt),
-                    radial=jnp.asarray(leaves["radial"], dt),
-                    tangential=jnp.asarray(leaves["tangential"], dt),
-                )
+            dt = np.asarray(b.params.focal).dtype
+            # the built's OWN intrinsics leaves switch to the global list
+            # too, consistent with the rewritten model_index — so
+            # refresh_problem (which writes focal[model_index[mid]]) stays
+            # correct on cached-plan reuse with several camera models
+            b.params = dataclasses.replace(
+                b.params,
+                focal=jnp.asarray(leaves["focal"], dt),
+                principal=jnp.asarray(leaves["principal"], dt),
+                radial=jnp.asarray(leaves["radial"], dt),
+                tangential=jnp.asarray(leaves["tangential"], dt),
             )
+            padded.append(_pad_params(b.params, C, V, P, M))
     else:
         M = max(b.params.M for b in builts)
         padded = [_pad_params(b.params, C, V, P, M) for b in builts]
@@ -322,6 +326,68 @@ def build_group_batch(
         builts=list(builts),
         num_groups=len(builts),
         shared_intrinsics=shared_intrinsics,
+        model_perms=model_perms,
+    )
+
+
+def refresh_group_batch(batch: GroupBatch) -> GroupBatch:
+    """Re-stack ONLY the parts of a cached GroupBatch that change when its
+    builts were value-refreshed (problem_builder.refresh_problem): params,
+    free masks (the intrinsics tier schedule lives in the masks), and the
+    mesh_anchor targets (re-anchored to the pass-entry mesh). The stacked
+    measurement blocks — the expensive part of build_group_batch — are
+    structure and carry over untouched (~35 s of a 104-image run was
+    re-stacking unchanged blocks)."""
+    layout = batch.layout
+    builts = batch.builts
+    perms = batch.model_perms or [None] * len(builts)
+    padded = [
+        _pad_params(b.params, layout.C, layout.V, layout.P, layout.M)
+        for b in builts
+    ]
+    params = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    free = jnp.asarray(
+        np.stack(
+            [
+                _translate_mask(b.free_mask, b.layout, layout, perms[i])
+                for i, b in enumerate(builts)
+            ]
+        )
+    )
+    surface_free = jnp.asarray(
+        np.stack(
+            [
+                _translate_mask(b.surface_free_mask, b.layout, layout, perms[i])
+                for i, b in enumerate(builts)
+            ]
+        )
+    )
+    blocks = []
+    for blk in batch.blocks:
+        if blk.name != "mesh_anchor":
+            blocks.append(blk)
+            continue
+        B_target = blk.slots.shape[1]
+        targets = []
+        for b in builts:
+            own = next(
+                (x for x in b.blocks if x.name == "mesh_anchor"), None
+            )
+            if own is None:
+                targets.append(np.zeros(B_target, np.asarray(blk.data["target"]).dtype))
+            else:
+                targets.append(
+                    _pad_rows_np(np.asarray(own.data["target"]), B_target)
+                )
+        data = dict(blk.data)
+        data["target"] = jnp.asarray(np.stack(targets))
+        blocks.append(dataclasses.replace(blk, data=data))
+    return dataclasses.replace(
+        batch,
+        params=params,
+        free=free,
+        surface_free=surface_free,
+        blocks=tuple(blocks),
     )
 
 

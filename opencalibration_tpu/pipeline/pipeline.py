@@ -259,20 +259,29 @@ class Pipeline:
         # overlap_io=False forces the serial order (for A/B benchmarks).
         if self.overlap_io:
             self._load_stage.start_decode(self.parallelism)
-            self._link_stage.run(self.graph, self.model_store)
-            self._relax_stage.run_all(self.graph, self.surfaces)
-            self._load_stage.finish()
+            with PerformanceMeasure("ip: link run"):
+                self._link_stage.run(self.graph, self.model_store)
+            with PerformanceMeasure("ip: relax run"):
+                self._relax_stage.run_all(self.graph, self.surfaces)
+            with PerformanceMeasure("ip: load finish"):
+                self._load_stage.finish()
         else:
-            self._load_stage.run(self.parallelism)
-            self._link_stage.run(self.graph, self.model_store)
-            self._relax_stage.run_all(self.graph, self.surfaces)
+            with PerformanceMeasure("ip: load run"):
+                self._load_stage.run(self.parallelism)
+            with PerformanceMeasure("ip: link run"):
+                self._link_stage.run(self.graph, self.model_store)
+            with PerformanceMeasure("ip: relax run"):
+                self._relax_stage.run_all(self.graph, self.surfaces)
 
-        loaded = self._load_stage.finalize(
-            self.graph, self.geocoord, self.model_store,
-            self._model_key_to_id, self.gps_positions,
-        )
-        linked = self._link_stage.finalize(self.graph)
-        relaxed = self._relax_stage.finalize(self.graph, self.model_store)
+        with PerformanceMeasure("ip: load finalize"):
+            loaded = self._load_stage.finalize(
+                self.graph, self.geocoord, self.model_store,
+                self._model_key_to_id, self.gps_positions,
+            )
+        with PerformanceMeasure("ip: link finalize"):
+            linked = self._link_stage.finalize(self.graph)
+        with PerformanceMeasure("ip: relax finalize"):
+            relaxed = self._relax_stage.finalize(self.graph, self.model_store)
         new_surfaces = [
             s for s in self._relax_stage.surfaces() if s.mesh is not None or s.cloud
         ]

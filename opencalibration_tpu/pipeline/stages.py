@@ -447,6 +447,7 @@ class RelaxPlan:
     builts: list  # List[Optional[BuiltProblem]], one per group
     live: List[int]
     pre_solve: bool
+    batch: object = None  # cached GroupBatch (stacked problems)
 
 
 class RelaxStage:
@@ -683,6 +684,7 @@ class RelaxStage:
         from opencalibration_tpu.parallel.group_solver import (
             build_group_batch,
             extract_group_params,
+            refresh_group_batch,
             solve_group_batch,
             solve_group_batch_shared,
         )
@@ -695,6 +697,7 @@ class RelaxStage:
         from opencalibration_tpu.utils.performance import PerformanceMeasure
 
         builts = None
+        cached_batch = None
         pre_solve = False
         if self._plan is not None:
             with PerformanceMeasure("relax refresh problems"):
@@ -709,6 +712,7 @@ class RelaxStage:
             if ok:
                 builts = self._plan.builts
                 pre_solve = self._plan.pre_solve
+                cached_batch = self._plan.batch
             self._plan = None
         if builts is None:
             builts = []
@@ -735,9 +739,14 @@ class RelaxStage:
         # intrinsics shortcut (pipeline.cpp:634)
         shared = self._options.any_intrinsics and len(live) > 1
         with PerformanceMeasure("relax batch groups"):
-            batch = build_group_batch(
-                [builts[i] for i in live], shared_intrinsics=shared
-            )
+            if cached_batch is not None and cached_batch.shared_intrinsics == shared:
+                # structure cached: re-stack only values/masks/anchors
+                batch = refresh_group_batch(cached_batch)
+            else:
+                batch = build_group_batch(
+                    [builts[i] for i in live], shared_intrinsics=shared
+                )
+        self.last_plan.batch = batch
         with PerformanceMeasure("relax solve"):
             if shared:
                 solved, info = solve_group_batch_shared(

@@ -425,11 +425,13 @@ def build_mesh_problem(
     covered_cells = {}
     if options.ground_mesh:
         from opencalibration_tpu.relax.tracks import build_multiray_tracks
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
 
-        track_rows, used_measurements, covered_cells = build_multiray_tracks(
-            graph, cam_index, node_model, fwd_models, quats, positions,
-            mesh, edge_list, grid_fraction,
-        )
+        with PerformanceMeasure("build: multiray tracks"):
+            track_rows, used_measurements, covered_cells = build_multiray_tracks(
+                graph, cam_index, node_model, fwd_models, quats, positions,
+                mesh, edge_list, grid_fraction,
+            )
         if track_rows:
             nt = len(track_rows["vert_idx"])
             for i in range(nt):
@@ -476,22 +478,28 @@ def build_mesh_problem(
         A_p2.append(np.repeat(positions[cam_index[e.dest]][None], n, 0))
 
     if live_edges:
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
         total = sum(n for _, n in live_edges)
         nb_rows = _bucket(total, minimum=64)
 
         def cat(parts, fill=0.0):
             return _pad_rows(np.concatenate(parts), nb_rows, fill=fill)
 
-        r1c_all, r2c_all, r1w_all, r2w_all, mid_all, err_all = jax.tree.map(
-            np.asarray,
-            _edge_rows_device(
-                jnp.asarray(cat(A_px1)), jnp.asarray(cat(A_px2)),
-                jnp.asarray(cat(A_mi1)), jnp.asarray(cat(A_mi2)),
-                jnp.asarray(cat(A_q1)), jnp.asarray(cat(A_q2)),
-                jnp.asarray(cat(A_p1)), jnp.asarray(cat(A_p2)),
-                fwd_stack,
-            ),
-        )
+        with PerformanceMeasure("build: edge rows device"):
+            r1c_all, r2c_all, r1w_all, r2w_all, mid_all, err_all = jax.tree.map(
+                np.asarray,
+                _edge_rows_device(
+                    jnp.asarray(cat(A_px1)), jnp.asarray(cat(A_px2)),
+                    jnp.asarray(cat(A_mi1)), jnp.asarray(cat(A_mi2)),
+                    jnp.asarray(cat(A_q1)), jnp.asarray(cat(A_q2)),
+                    jnp.asarray(cat(A_p1)), jnp.asarray(cat(A_p2)),
+                    fwd_stack,
+                ),
+            )
+    from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+    _pm_filter = PerformanceMeasure("build: grid filter + triangle assign")
     off = 0
     for edge_id, n in live_edges:
         e = graph.get_edge(edge_id)
@@ -567,6 +575,8 @@ def build_mesh_problem(
                     ]
                 )
             )
+
+    _pm_filter.__exit__()
 
     if not b_vert:
         return None
