@@ -109,6 +109,7 @@ def extract_dense_featuresets(
     import concurrent.futures
 
     from opencalibration_tpu.extract.image_loader import (
+        batch_sparse_masks,
         features_from_device,
         load_and_decode,
         pad_gray_batch,
@@ -129,8 +130,12 @@ def extract_dense_featuresets(
         out = F.extract_features(
             jnp.asarray(gray_batch), max_features=max_features, threshold=threshold
         )
+        out_np, sparse_masks = batch_sparse_masks(out, sizes)
         for i, (nid, d) in enumerate(good):
-            raw[nid] = features_from_device(out, i, d.scale, sizes[i], max_features)
+            raw[nid] = features_from_device(
+                out_np, i, d.scale, sizes[i], max_features,
+                sparse_mask=sparse_masks[i],
+            )
     if not raw:
         return {}
     # pad to a common count so the matcher compiles once

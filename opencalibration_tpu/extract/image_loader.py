@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -128,14 +128,51 @@ def pad_gray_batch(grays: list, target_hw=None):
     return out, sizes
 
 
-def features_from_device(out, index: int, scale: float, size_hw, max_keep: int):
-    """Convert one image's slice of the batched device output into a
-    FeatureSet in ORIGINAL image pixel coordinates, applying the radius-8
-    NMS sparse split of the reference."""
+def batch_sparse_masks(out, sizes_hw):
+    """Radius-NMS sparse masks for a whole extraction batch in ONE device
+    dispatch per distinct image size (and ONE device_get) — the per-image
+    variant cost a device round-trip per image, which through a remote-TPU
+    tunnel dominated the whole load stage. Returns (out_np, masks [N, K])."""
+    import jax
     import jax.numpy as jnp
 
     from opencalibration_tpu.ops.spatial import nms_radius
+    from opencalibration_tpu.utils.performance import PerformanceMeasure
 
+    with PerformanceMeasure("load: device_get outputs"):
+        out_np = jax.device_get(dict(out))
+    N = len(sizes_hw)
+    masks = np.zeros(out_np["valid"].shape, bool)
+    by_cells: Dict[tuple, list] = {}
+    for i, (h, w) in enumerate(sizes_hw):
+        ncx = max(2, int(math.ceil(w / NMS_PIXEL_RADIUS)))
+        ncy = max(2, int(math.ceil(h / NMS_PIXEL_RADIUS)))
+        by_cells.setdefault((ncx, ncy), []).append(i)
+    for (ncx, ncy), idxs in by_cells.items():
+        sel = np.asarray(idxs)
+        xy = out_np["xy"][sel]
+        strength = out_np["strength"][sel]
+        wv = np.asarray([sizes_hw[i][1] for i in idxs], np.float32)
+        hv = np.asarray([sizes_hw[i][0] for i in idxs], np.float32)
+        valid = (
+            out_np["valid"][sel]
+            & (xy[..., 0] < wv[:, None])
+            & (xy[..., 1] < hv[:, None])
+        )
+        m = jax.vmap(
+            lambda a, b, c: nms_radius(a, b, c, NMS_PIXEL_RADIUS, ncx, ncy)
+        )(jnp.asarray(xy), jnp.asarray(strength), jnp.asarray(valid))
+        masks[sel] = np.asarray(m)
+    return out_np, masks
+
+
+def features_from_device(out, index: int, scale: float, size_hw, max_keep: int,
+                         sparse_mask=None):
+    """Convert one image's slice of the batched device output into a
+    FeatureSet in ORIGINAL image pixel coordinates, applying the radius-8
+    NMS sparse split of the reference. `out` should be the host copy and
+    `sparse_mask` the row from batch_sparse_masks; the per-image device
+    fallback remains for single-image callers."""
     xy = np.asarray(out["xy"][index])
     strength = np.asarray(out["strength"][index])
     desc = np.asarray(out["descriptors"][index])
@@ -144,14 +181,20 @@ def features_from_device(out, index: int, scale: float, size_hw, max_keep: int):
     inside = (xy[:, 0] < w) & (xy[:, 1] < h)
     valid = valid & inside
 
-    n_cells_x = max(2, int(math.ceil(w / NMS_PIXEL_RADIUS)))
-    n_cells_y = max(2, int(math.ceil(h / NMS_PIXEL_RADIUS)))
-    sparse_mask = np.asarray(
-        nms_radius(
-            jnp.asarray(xy), jnp.asarray(strength), jnp.asarray(valid),
-            NMS_PIXEL_RADIUS, n_cells_x, n_cells_y,
+    if sparse_mask is None:
+        import jax.numpy as jnp
+
+        from opencalibration_tpu.ops.spatial import nms_radius
+
+        n_cells_x = max(2, int(math.ceil(w / NMS_PIXEL_RADIUS)))
+        n_cells_y = max(2, int(math.ceil(h / NMS_PIXEL_RADIUS)))
+        sparse_mask = np.asarray(
+            nms_radius(
+                jnp.asarray(xy), jnp.asarray(strength), jnp.asarray(valid),
+                NMS_PIXEL_RADIUS, n_cells_x, n_cells_y,
+            )
         )
-    )
+    sparse_mask = np.asarray(sparse_mask)
 
     # sparse features first (strongest-first ordering), dense after
     order = np.argsort(-np.where(valid & sparse_mask, strength, -np.inf), kind="stable")

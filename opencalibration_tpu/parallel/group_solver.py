@@ -724,18 +724,26 @@ def solve_group_batch_shared(
     return solved, info
 
 
+def fetch_solved(solved: RelaxParams) -> RelaxParams:
+    """ONE device_get of the whole solved batch. Also uncommits the leaves
+    from any multi-device sharding (mixing committed with uncommitted
+    arrays downstream, e.g. model-conversion jits, is an error)."""
+    return jax.tree.map(np.asarray, jax.device_get(solved))
+
+
 def extract_group_params(
     batch: GroupBatch, solved: RelaxParams, g: int
 ) -> RelaxParams:
     """Slice group g's solved parameters back to its own (unpadded) shapes.
     In a shared-intrinsics batch, model slots are global: keep the full
-    intrinsics leaves (built.model_index was rewritten to global slots)."""
+    intrinsics leaves (built.model_index was rewritten to global slots).
+
+    Pass `solved` through fetch_solved first when extracting several
+    groups — a per-leaf-per-group device pull costs a synchronizing
+    round-trip each through a remote-TPU tunnel."""
     b = batch.builts[g]
     M = batch.layout.M if batch.shared_intrinsics else b.params.M
-    # pull the group slice off the mesh: solved leaves may be committed to
-    # a multi-device sharding, and mixing committed with uncommitted
-    # arrays downstream (model conversion jits) is an error
-    pg = jax.tree.map(lambda x: jnp.asarray(np.asarray(x[g])), solved)
+    pg = jax.tree.map(lambda x: np.asarray(x[g]), solved)
     return RelaxParams(
         quats=pg.quats[: b.params.C],
         positions=pg.positions[: b.params.C],

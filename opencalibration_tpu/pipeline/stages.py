@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from opencalibration_tpu.extract.image_loader import (
     DecodedImage,
     camera_model_kwargs,
+    batch_sparse_masks,
     features_from_device,
     load_and_decode,
     pad_gray_batch,
@@ -126,27 +127,38 @@ class LoadStage:
 
     def finish(self):
         """Join the decode threads and run ONE batched device extraction."""
-        if self._futures is not None:
-            self._decoded = [f.result() for f in self._futures]
-            self._executor.shutdown(wait=False)
-            self._futures = None
-            self._executor = None
-        if not self._paths:
-            self._decoded = []
-            return
-        for d in self._decoded:
-            if d is not None:
-                _apply_sidecar_metadata(d.node)
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+        with PerformanceMeasure("load: decode join"):
+            if self._futures is not None:
+                self._decoded = [f.result() for f in self._futures]
+                self._executor.shutdown(wait=False)
+                self._futures = None
+                self._executor = None
+            if not self._paths:
+                self._decoded = []
+                return
+            for d in self._decoded:
+                if d is not None:
+                    _apply_sidecar_metadata(d.node)
 
         good = [d for d in self._decoded if d is not None]
         if not good:
             return
-        batch, sizes = pad_gray_batch([d.gray for d in good])
-        out = F.extract_features(jnp.asarray(batch), max_features=self.max_features)
-        for i, d in enumerate(good):
-            d.node.features = features_from_device(
-                out, i, d.scale, sizes[i], self.max_features
+        with PerformanceMeasure("load: extract device"):
+            batch, sizes = pad_gray_batch([d.gray for d in good])
+            out = F.extract_features(
+                jnp.asarray(batch), max_features=self.max_features
             )
+            # one device_get + one batched NMS dispatch per image size —
+            # NOT a device round-trip per image (remote-TPU tunnel
+            # latency made the per-image path dominate the load stage)
+            out_np, sparse_masks = batch_sparse_masks(out, sizes)
+            for i, d in enumerate(good):
+                d.node.features = features_from_device(
+                    out_np, i, d.scale, sizes[i], self.max_features,
+                    sparse_mask=sparse_masks[i],
+                )
 
     def run(self, parallelism: int = 8):
         if self._futures is None:
@@ -684,6 +696,7 @@ class RelaxStage:
         from opencalibration_tpu.parallel.group_solver import (
             build_group_batch,
             extract_group_params,
+            fetch_solved,
             refresh_group_batch,
             solve_group_batch,
             solve_group_batch_shared,
@@ -764,12 +777,14 @@ class RelaxStage:
                 )
             except (AttributeError, TypeError):
                 pass
-        for k, i in enumerate(live):
-            params_g = extract_group_params(batch, solved, k)
-            g = self._groups[i]
-            self._surfaces[i] = apply_solution(
-                builts[i], params_g, g.poses, g.cam_models
-            )
+        with PerformanceMeasure("relax writeback"):
+            solved = fetch_solved(solved)  # ONE device pull for all groups
+            for k, i in enumerate(live):
+                params_g = extract_group_params(batch, solved, k)
+                g = self._groups[i]
+                self._surfaces[i] = apply_solution(
+                    builts[i], params_g, g.poses, g.cam_models
+                )
 
     def finalize(
         self,

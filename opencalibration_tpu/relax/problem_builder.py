@@ -915,15 +915,20 @@ def refresh_problem(
         radial[slot] = np.asarray(m.radial_distortion)
         tangential[slot] = np.asarray(m.tangential_distortion)
 
+    # host numpy leaves on purpose: the group stackers re-pad and re-stack
+    # these every repeat — device leaves would cost a synchronizing D2H
+    # pull per leaf per group per iteration (47 s of a 104-image run
+    # through the remote-TPU tunnel); numpy keeps the refresh free and the
+    # stack pays one H2D per leaf
     built.params = dataclasses.replace(
         built.params,
-        quats=jnp.asarray(quats, dt),
-        positions=jnp.asarray(positions, dt),
-        mesh_z=jnp.asarray(mesh_z, dt),
-        focal=jnp.asarray(focal, dt),
-        principal=jnp.asarray(principal, dt),
-        radial=jnp.asarray(radial, dt),
-        tangential=jnp.asarray(tangential, dt),
+        quats=quats.astype(dt),
+        positions=positions.astype(dt),
+        mesh_z=mesh_z.astype(dt),
+        focal=focal.astype(dt),
+        principal=principal.astype(dt),
+        radial=radial.astype(dt),
+        tangential=tangential.astype(dt),
     )
 
     # free masks follow the option schedule (Brown tiers / principal live

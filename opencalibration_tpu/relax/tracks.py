@@ -48,6 +48,27 @@ def _undistort_nodes_device(px, models):
     )(px, models)
 
 
+@jax.jit
+def _rays_and_first_mids_device(
+    px, models, node_quats, node_pos, n0, f0, n1, f1
+):
+    """Fused undistort + world rotation + first-two-ray triangulation in
+    ONE dispatch: through a remote-TPU tunnel every awaited dispatch costs
+    a full round-trip (~0.2 s measured, with multi-second outliers), so
+    the split undistort -> host loop -> intersection pattern paid twice
+    per build. Returns (camera rays [K, N, 3], track midpoints [T, 3])."""
+    from opencalibration_tpu.ops.intersection import ray_intersection
+    from opencalibration_tpu.ops.quaternion import quat_rotate
+
+    rays = jax.vmap(
+        lambda p, m: jax.vmap(lambda q: D.image_to_3d(q, m))(p)
+    )(px, models)
+    d0 = quat_rotate(node_quats[n0], rays[n0, f0])
+    d1 = quat_rotate(node_quats[n1], rays[n1, f1])
+    mids, _ = ray_intersection(d0, node_pos[n0], d1, node_pos[n1])
+    return rays, mids
+
+
 class _UF:
     def __init__(self, n):
         self.p = list(range(n))
@@ -82,126 +103,200 @@ def build_multiray_tracks(
     used_measurements set[(node_id, feat_idx)], covered_cells
     dict[node_id -> set[cell_key]]. Empty dict rows when no tracks.
     """
-    # ---- phase 1: collect per-edge 2-view measurement pairs -----------------
-    key_to_idx: Dict[Tuple[int, int], int] = {}
-    keys: List[Tuple[int, int]] = []
-    pairs: List[Tuple[int, int]] = []
+    from opencalibration_tpu.utils.performance import PerformanceMeasure
 
-    def key_id(k):
-        if k not in key_to_idx:
-            key_to_idx[k] = len(keys)
-            keys.append(k)
-        return key_to_idx[k]
+    # ---- phase 1: per-edge 2-view measurement pairs -> connected tracks ----
+    # vectorized: encoded (node, feature) keys -> np.unique indexing ->
+    # sparse connected_components. The dict/UnionFind equivalent walked
+    # every inlier of every edge in Python (reference :608-676 does the
+    # same in C++ where it's free; here it dominated problem builds).
+    with PerformanceMeasure("tracks: phase1+2 host"):
+        # node ids are random 64-bit — remap to dense indices before the
+        # (node, feature) key encoding
+        nid_order = sorted(cam_index)
+        nid_dense = {nid: i for i, nid in enumerate(nid_order)}
+        nid_arr = np.asarray(nid_order, np.int64)
 
-    for eid in edge_ids:
-        e = graph.get_edge(eid)
-        if e is None or e.source not in cam_index or e.dest not in cam_index:
-            continue
-        rel = e.payload
-        for i1, i2 in zip(rel.inlier_idx1, rel.inlier_idx2):
-            a = key_id((e.source, int(i1)))
-            b = key_id((e.dest, int(i2)))
-            pairs.append((a, b))
+        e_src, e_dst, e_i1, e_i2 = [], [], [], []
+        for eid in edge_ids:
+            e = graph.get_edge(eid)
+            if e is None or e.source not in cam_index or e.dest not in cam_index:
+                continue
+            rel = e.payload
+            n = len(rel.inlier_idx1)
+            if n == 0:
+                continue
+            e_src.append(np.full(n, nid_dense[e.source], np.int64))
+            e_dst.append(np.full(n, nid_dense[e.dest], np.int64))
+            e_i1.append(np.asarray(rel.inlier_idx1, np.int64))
+            e_i2.append(np.asarray(rel.inlier_idx2, np.int64))
+        if not e_src:
+            return {}, set(), {}
+        a_keys = (np.concatenate(e_src) << 32) | np.concatenate(e_i1)
+        b_keys = (np.concatenate(e_dst) << 32) | np.concatenate(e_i2)
+        # interleave a/b so first-occurrence order matches the sequential
+        # key_id() walk (dedup below keeps the FIRST feature per node)
+        inter = np.empty(2 * len(a_keys), np.int64)
+        inter[0::2] = a_keys
+        inter[1::2] = b_keys
+        uniq, first_pos, inv = np.unique(
+            inter, return_index=True, return_inverse=True
+        )
+        a_idx, b_idx = inv[0::2], inv[1::2]
 
-    if not pairs:
-        return {}, set(), {}
+        import scipy.sparse
+        import scipy.sparse.csgraph
 
-    uf = _UF(len(keys))
-    for a, b in pairs:
-        uf.unite(a, b)
-    tracks: Dict[int, List[Tuple[int, int]]] = {}
-    for i, k in enumerate(keys):
-        tracks.setdefault(uf.find(i), []).append(k)
+        n_keys = len(uniq)
+        adj = scipy.sparse.coo_matrix(
+            (np.ones(len(a_idx), np.int8), (a_idx, b_idx)),
+            shape=(n_keys, n_keys),
+        )
+        _, labels = scipy.sparse.csgraph.connected_components(
+            adj, directed=False
+        )
 
-    # ---- per-track ray data (dedup by node, reference :650-676) ------------
-    cand = []
-    for root, ms in tracks.items():
-        seen: Dict[int, int] = {}
-        for nid, fi in ms:
-            if nid not in seen and nid in cam_index:
-                seen[nid] = fi
-        if len(seen) >= MIN_TRACK_RAYS:
-            cand.append(sorted(seen.items()))
-    if not cand:
-        return {}, set(), {}
+        key_nid = nid_arr[(uniq >> 32).astype(np.int64)]  # real node ids
+        key_fi = (uniq & 0xFFFFFFFF).astype(np.int64)
 
-    # ---- grid filter by track length (reference :678-702) ------------------
+        # ---- dedup per (track, node): keep first-seen feature ---------------
+        order = np.lexsort((first_pos, key_nid, labels))
+        ln = labels[order]
+        nn = key_nid[order]
+        keep_first = np.ones(len(order), bool)
+        keep_first[1:] = (ln[1:] != ln[:-1]) | (nn[1:] != nn[:-1])
+        dk = order[keep_first]  # deduped key indices, grouped by track
+        d_lab = labels[dk]
+        d_nid = key_nid[dk]
+        d_fi = key_fi[dk]
+
+        # track sizes after dedup; accept >= MIN_TRACK_RAYS
+        sizes = np.bincount(d_lab, minlength=d_lab.max() + 1)
+        key_score = sizes[d_lab]
+        ok_track = key_score >= MIN_TRACK_RAYS
+        if not ok_track.any():
+            return {}, set(), {}
+        d_lab, d_nid, d_fi, key_score = (
+            d_lab[ok_track], d_nid[ok_track], d_fi[ok_track],
+            key_score[ok_track],
+        )
+        d_first = first_pos[dk][ok_track]
+
+        # candidate index per surviving track, ordered by first appearance
+        # (parity with the sequential tracks-dict insertion order)
+        lab_uniq, lab_inv = np.unique(d_lab, return_inverse=True)
+        lab_first = np.full(len(lab_uniq), np.iinfo(np.int64).max)
+        np.minimum.at(lab_first, lab_inv, d_first)
+        ti_of_lab = np.empty(len(lab_uniq), np.int64)
+        ti_of_lab[np.argsort(lab_first, kind="stable")] = np.arange(len(lab_uniq))
+        d_ti = ti_of_lab[lab_inv]
+
+        # ---- grid filter by track length (reference :678-702) --------------
+        node_list_all = sorted({int(x) for x in np.unique(d_nid)})
+        nid_index = {nid: i for i, nid in enumerate(node_list_all)}
+        xy_parts = [
+            np.asarray(graph.get_node(nid).payload.features.xy)
+            for nid in node_list_all
+        ]
+        offs = np.zeros(len(node_list_all) + 1, np.int64)
+        offs[1:] = np.cumsum([len(x) for x in xy_parts])
+        xy_cat = (
+            np.concatenate(xy_parts) if xy_parts else np.zeros((0, 2))
+        )
+        d_nrow = np.asarray([nid_index[int(x)] for x in d_nid])
+        px_all = xy_cat[offs[d_nrow] + d_fi]  # [K, 2]
+        dims = np.stack(
+            [
+                [
+                    max(float(fwd_models[node_model[nid]].pixels_cols), 1.0),
+                    max(float(fwd_models[node_model[nid]].pixels_rows), 1.0),
+                ]
+                for nid in node_list_all
+            ]
+        )
+        cell_xy = np.floor(
+            px_all / dims[d_nrow] / grid_fraction
+        ).astype(np.int64)
+        cell_id = (
+            d_nrow.astype(np.int64) * (1 << 24)
+            + (cell_xy[:, 0] & 0xFFF) * (1 << 12)
+            + (cell_xy[:, 1] & 0xFFF)
+        )
+        # best per cell: max score, ties -> smallest candidate index
+        corder = np.lexsort((d_ti, -key_score, cell_id))
+        cfirst = np.ones(len(corder), bool)
+        cid_s = cell_id[corder]
+        cfirst[1:] = cid_s[1:] != cid_s[:-1]
+        accepted = set(d_ti[corder[cfirst]].tolist())
+
+        # cand[ti] = sorted (nid, fi) items of the track
+        sort_items = np.lexsort((d_nid, d_ti))
+        cand: List[List[Tuple[int, int]]] = [[] for _ in range(len(lab_uniq))]
+        for j in sort_items:
+            cand[d_ti[j]].append((int(d_nid[j]), int(d_fi[j])))
+
     def cell_key(nid, px):
         m = fwd_models[node_model[nid]]
         nx = px[0] / max(float(m.pixels_cols), 1.0)
         ny = px[1] / max(float(m.pixels_rows), 1.0)
         return (int(np.floor(nx / grid_fraction)), int(np.floor(ny / grid_fraction)))
 
-    best_per_cell: Dict[Tuple[int, Tuple[int, int]], Tuple[int, int]] = {}
-    for ti, items in enumerate(cand):
-        score = len(items)
-        for nid, fi in items:
-            px = graph.get_node(nid).payload.features.xy[fi]
-            k = (nid, cell_key(nid, px))
-            if k not in best_per_cell or score > best_per_cell[k][0]:
-                best_per_cell[k] = (score, ti)
-    accepted = {ti for _, ti in best_per_cell.values()}
-
     # ---- batched ray construction ------------------------------------------
     # ALL nodes' undistorts in ONE jitted dispatch, feature counts padded
     # to a common bucket so repeated pipeline iterations reuse the compile
     from opencalibration_tpu.relax.problem_builder import _bucket
 
-    node_list = sorted({nid for items in cand for nid, _ in items})
-    node_rays: Dict[int, np.ndarray] = {}
-    if node_list:
-        counts = [
-            len(graph.get_node(nid).payload.features.xy) for nid in node_list
-        ]
-        nb = _bucket(max(counts), minimum=64)
-        px_stack = np.zeros((len(node_list), nb, 2))
-        for i, nid in enumerate(node_list):
-            xy = np.asarray(graph.get_node(nid).payload.features.xy)
-            px_stack[i, : len(xy)] = xy
-        models_stacked = stack_cameras(
-            [fwd_models[node_model[nid]] for nid in node_list]
-        )
-        rays = np.asarray(
-            _undistort_nodes_device(jnp.asarray(px_stack), models_stacked)
-        )
-        for i, nid in enumerate(node_list):
-            node_rays[nid] = rays[i, : counts[i]]
-
+    _pm_rays = PerformanceMeasure("tracks: ray construction")
     accepted_list = sorted(accepted)
-    first_dirs, first_orig = [], []
-    for ti in accepted_list:
-        items = cand[ti]
-        (n0, f0), (n1, f1) = items[0], items[1]
-        d0 = _np_quat_rotate(quats[cam_index[n0]], node_rays[n0][f0])
-        d1 = _np_quat_rotate(quats[cam_index[n1]], node_rays[n1][f1])
-        first_dirs.append((d0, d1))
-        first_orig.append((positions[cam_index[n0]], positions[cam_index[n1]]))
     if not accepted_list:
+        _pm_rays.__exit__()
         return {}, set(), {}
-    nb_t = _bucket(len(accepted_list), minimum=64)  # stable compile shape
-
-    def padstack(parts, idx):
-        arr = np.stack([p[idx] for p in parts])
-        pad = nb_t - len(arr)
-        if pad > 0:
-            arr = np.concatenate([arr, np.ones((pad,) + arr.shape[1:])])
-        return arr
-
-    mids, _ = ray_intersection(
-        jnp.asarray(padstack(first_dirs, 0)), jnp.asarray(padstack(first_orig, 0)),
-        jnp.asarray(padstack(first_dirs, 1)), jnp.asarray(padstack(first_orig, 1)),
+    node_list = sorted({nid for items in cand for nid, _ in items})
+    counts = [
+        len(graph.get_node(nid).payload.features.xy) for nid in node_list
+    ]
+    nb = _bucket(max(counts), minimum=64)
+    px_stack = np.zeros((len(node_list), nb, 2))
+    for i, nid in enumerate(node_list):
+        xy = np.asarray(graph.get_node(nid).payload.features.xy)
+        px_stack[i, : len(xy)] = xy
+    models_stacked = stack_cameras(
+        [fwd_models[node_model[nid]] for nid in node_list]
     )
-    mids = np.asarray(mids)[: len(accepted_list)]
+    row_of = {nid: i for i, nid in enumerate(node_list)}
+
+    nb_t = _bucket(len(accepted_list), minimum=64)  # stable compile shape
+    tr = np.zeros((nb_t, 4), np.int32)
+    for ai, ti in enumerate(accepted_list):
+        (n0, f0), (n1, f1) = cand[ti][0], cand[ti][1]
+        tr[ai] = (row_of[n0], f0, row_of[n1], f1)
+    node_quats = np.stack([quats[cam_index[nid]] for nid in node_list])
+    node_pos = np.stack([positions[cam_index[nid]] for nid in node_list])
+
+    # ONE awaited dispatch: undistort + world rotation + 2-ray midpoints
+    rays_d, mids_d = _rays_and_first_mids_device(
+        jnp.asarray(px_stack), models_stacked,
+        jnp.asarray(node_quats), jnp.asarray(node_pos),
+        jnp.asarray(tr[:, 0]), jnp.asarray(tr[:, 1]),
+        jnp.asarray(tr[:, 2]), jnp.asarray(tr[:, 3]),
+    )
+    rays = np.asarray(rays_d)
+    mids = np.asarray(mids_d)[: len(accepted_list)]
+    node_rays: Dict[int, np.ndarray] = {
+        nid: rays[i, : counts[i]] for i, nid in enumerate(node_list)
+    }
     finite = np.isfinite(mids).all(axis=1)
     tri_idx_all = np.full(len(accepted_list), -1, np.int64)
     if finite.any():
         tri_idx_all[finite] = mesh.find_triangles(mids[finite, :2])
 
+    _pm_rays.__exit__()
     rows = dict(vert_idx=[], tri_xy=[], cam_idx=[], ray_valid=[], pixel=[],
                 fixed_dir=[], model_i=[])
     used: Set[Tuple[int, int]] = set()
     covered: Dict[int, Set] = {}
 
+    _pm_rows = PerformanceMeasure("tracks: row loop")
     for ai, ti in enumerate(accepted_list):
         items = cand[ti]
         nids = [nid for nid, _ in items]
@@ -266,6 +361,7 @@ def build_multiray_tracks(
             used.add((nid, fi))
             covered.setdefault(nid, set()).add(cell_key(nid, pixels[g]))
 
+    _pm_rows.__exit__()
     if not rows["vert_idx"]:
         return {}, set(), {}
     return (
