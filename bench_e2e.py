@@ -81,6 +81,10 @@ def run_config(n_images: int, batch_size: int = 64) -> dict:
         t1 = time.perf_counter()
         state = p.iterate_once()
         if cur != prev:
+            if prev is not None:
+                # cumulative counter table at every state boundary so a
+                # crashed/killed run still leaves attribution data
+                print(total_performance_summary(), file=sys.stderr, flush=True)
             prev = cur
         print(
             f"  [{time.perf_counter() - t0:7.1f}s] {cur} rc={rc}"

@@ -91,33 +91,40 @@ def _accumulate_hg(H, g, JtJ, Jtr, slots):
     B, L = slots.shape
     chunk = _ASSEMBLE_CHUNK
 
-    def add_chunk(carry, xs):
-        H, g = carry
-        jt, jr, sl = xs
+    def chunk_hg(jt, jr, sl):
         O = jax.nn.one_hot(sl, T, dtype=jt.dtype)
-        H = H + jnp.einsum("blm,blt,bms->ts", jt, O, O)
-        g = g + jnp.einsum("bl,blt->t", jr, O)
-        return (H, g), None
+        dH = jnp.einsum("blm,blt,bms->ts", jt, O, O)
+        dg = jnp.einsum("bl,blt->t", jr, O)
+        return dH, dg
 
     if B <= chunk:
-        (H, g), _ = add_chunk((H, g), (JtJ, Jtr, slots))
-        return H, g
+        dH, dg = chunk_hg(JtJ, Jtr, slots)
+        return H + dH, g + dg
     pad = (-B) % chunk
     if pad:  # zero-weight padding rows contribute nothing
         JtJ = jnp.concatenate([JtJ, jnp.zeros((pad, L, L), JtJ.dtype)])
         Jtr = jnp.concatenate([Jtr, jnp.zeros((pad, L), Jtr.dtype)])
         slots = jnp.concatenate([slots, jnp.zeros((pad, L), slots.dtype)])
     n = (B + pad) // chunk
-    (H, g), _ = jax.lax.scan(
-        add_chunk,
-        (H, g),
-        (
-            JtJ.reshape(n, chunk, L, L),
-            Jtr.reshape(n, chunk, L),
-            slots.reshape(n, chunk, L),
-        ),
+    JtJc = JtJ.reshape(n, chunk, L, L)
+    Jtrc = Jtr.reshape(n, chunk, L)
+    slotsc = slots.reshape(n, chunk, L)
+
+    def add_chunk(carry, xs):
+        Hc, gc = carry
+        dH, dg = chunk_hg(*xs)
+        return (Hc + dH, gc + dg), None
+
+    # seed the carry with the FIRST chunk's contribution (not replicated
+    # zeros): under shard_map the data is varying over the mesh axis while
+    # fresh zeros are not, and jax's vma check rejects a scan whose carry
+    # gains varying-ness mid-body (seen at >2048-instance blocks inside
+    # solve_group_batch_shared)
+    carry0 = chunk_hg(JtJc[0], Jtrc[0], slotsc[0])
+    (dH, dg), _ = jax.lax.scan(
+        add_chunk, carry0, (JtJc[1:], Jtrc[1:], slotsc[1:])
     )
-    return H, g
+    return H + dH, g + dg
 
 
 def _block_hg(params: RelaxParams, blk: BlockSpec, H, g, free_mask):

@@ -444,12 +444,6 @@ def build_mesh_problem(
                 b_pix.append(track_rows["pixel"][i])
                 b_dir.append(track_rows["fixed_dir"][i])
 
-    def _cell_of(nid, px):
-        m = fwd_models[node_model[nid]]
-        nx = px[0] / max(float(m.pixels_cols), 1.0)
-        ny = px[1] / max(float(m.pixels_rows), 1.0)
-        return (int(np.floor(nx / grid_fraction)), int(np.floor(ny / grid_fraction)))
-
     # ---- ONE batched device pass over every edge's inliers: per-row
     # undistort -> world rays -> 2-ray triangulation. (A per-edge loop of
     # these calls traces the iterative undistort eagerly for every edge
@@ -500,81 +494,163 @@ def build_mesh_problem(
     from opencalibration_tpu.utils.performance import PerformanceMeasure
 
     _pm_filter = PerformanceMeasure("build: grid filter + triangle assign")
-    off = 0
-    for edge_id, n in live_edges:
-        e = graph.get_edge(edge_id)
-        rel = e.payload
-        s_model = fwd_models[node_model[e.source]]
-        d_model = fwd_models[node_model[e.dest]]
-        px1 = np.asarray(rel.inlier_pixel1, np.float64)
-        px2 = np.asarray(rel.inlier_pixel2, np.float64)
-        r1 = r1c_all[off : off + n]
-        r2 = r2c_all[off : off + n]
-        r1w = r1w_all[off : off + n]
-        r2w = r2w_all[off : off + n]
-        mid_e = mid_all[off : off + n]
-        err_e = err_all[off : off + n]
-        off += n
-        q1 = quats[cam_index[e.source]]
-        q2 = quats[cam_index[e.dest]]
-        p1w = positions[cam_index[e.source]]
-        p2w = positions[cam_index[e.dest]]
-        dist = (
-            np.asarray(rel.match_distance)[np.asarray(rel.inlier_match_index)]
-            if len(rel.match_distance)
-            else np.zeros(n)
+    # ---- fully vectorized over ALL edges' rows (a per-edge Python loop
+    # scales linearly with edge count: ~6 ms/edge -> minutes at 10k scale)
+    if live_edges:
+        R = sum(n for _, n in live_edges)
+        row_edge = np.repeat(np.arange(len(live_edges)), [n for _, n in live_edges])
+        px1_all = np.concatenate(A_px1)
+        px2_all = np.concatenate(A_px2)
+        e_objs = [graph.get_edge(eid) for eid, _ in live_edges]
+        src_slot = np.asarray([cam_index[e.source] for e in e_objs])
+        dst_slot = np.asarray([cam_index[e.dest] for e in e_objs])
+        # node ids are random 64-bit — dense-remap before any key encoding
+        nid_dense = {nid: i for i, nid in enumerate(sorted(cam_index))}
+        src_nid = np.asarray([nid_dense[e.source] for e in e_objs], np.int64)
+        dst_nid = np.asarray([nid_dense[e.dest] for e in e_objs], np.int64)
+        model_row = np.asarray(
+            [model_index.get(node_model[e.source], 0) for e in e_objs]
         )
-        dims1 = (float(s_model.pixels_cols), float(s_model.pixels_rows))
-        dims2 = (float(d_model.pixels_cols), float(d_model.pixels_rows))
-        keep = _grid_filter_edge(
-            px1, px2, r1w, r2w, p1w, p2w, dist,
-            np.asarray(rel.ransac_relation), dims1, dims2, grid_fraction,
-            err=err_e,
+        dims_src = np.stack(
+            [
+                [
+                    max(float(fwd_models[node_model[e.source]].pixels_cols), 1.0),
+                    max(float(fwd_models[node_model[e.source]].pixels_rows), 1.0),
+                ]
+                for e in e_objs
+            ]
         )
-        if not keep.any():
-            continue
-        mid = mid_e[keep]
-        err = err_e[keep]
-        finite = np.isfinite(mid).all(axis=1)
-        tp_list.append(mid[finite])
-        te_list.append(err[finite])
-        tri_idx = mesh.find_triangles(mid[finite, :2])
-        ok = tri_idx >= 0
-        if not ok.any():
-            continue
-        kidx = np.where(keep)[0][finite][ok]
-        tri = mesh.triangles[tri_idx[ok]]
-        same_model = node_model[e.source] == node_model[e.dest]
-        use_int = use_intrinsics and same_model
-        for row, k in zip(tri, kidx):
-            # phase 3 skip rules (reference relax_problem.cpp:435-466):
-            # measurements in multi-ray tracks, or whose cells in BOTH
-            # images are already track-covered, are redundant
-            k1 = (e.source, int(rel.inlier_idx1[k]))
-            k2 = (e.dest, int(rel.inlier_idx2[k]))
-            if k1 in used_measurements or k2 in used_measurements:
-                continue
-            if covered_cells:
-                c1 = _cell_of(e.source, px1[k]) in covered_cells.get(e.source, ())
-                c2 = _cell_of(e.dest, px2[k]) in covered_cells.get(e.dest, ())
-                if c1 and c2:
-                    continue
-            b_vert.append(row)
-            b_trixy.append(mesh.vertices[row, :2])
-            b_cam.append([cam_index[e.source], cam_index[e.dest], 0, 0, 0])
-            b_valid.append([True, True, False, False, False])
-            b_model.append(model_index.get(node_model[e.source], 0))
-            b_pix.append(
-                np.stack([px1[k], px2[k], px1[k], px1[k], px1[k]])
+        dims_dst = np.stack(
+            [
+                [
+                    max(float(fwd_models[node_model[e.dest]].pixels_cols), 1.0),
+                    max(float(fwd_models[node_model[e.dest]].pixels_rows), 1.0),
+                ]
+                for e in e_objs
+            ]
+        )
+        dist_parts, H_parts, idx1_parts, idx2_parts = [], [], [], []
+        for (eid, n), e in zip(live_edges, e_objs):
+            rel = e.payload
+            dist_parts.append(
+                np.asarray(rel.match_distance)[np.asarray(rel.inlier_match_index)]
+                if len(rel.match_distance)
+                else np.zeros(n)
             )
-            b_dir.append(
-                np.stack(
-                    [
-                        np.asarray(r1[k]), np.asarray(r2[k]),
-                        np.asarray(r1[k]), np.asarray(r1[k]), np.asarray(r1[k]),
-                    ]
+            Hm = np.asarray(rel.ransac_relation, np.float64)
+            if Hm.shape != (3, 3) or not np.isfinite(Hm).all():
+                Hm = np.full((3, 3), np.nan)
+            H_parts.append(Hm)
+            idx1_parts.append(np.asarray(rel.inlier_idx1, np.int64))
+            idx2_parts.append(np.asarray(rel.inlier_idx2, np.int64))
+        dist_all = np.concatenate(dist_parts)
+        idx1_all = np.concatenate(idx1_parts)
+        idx2_all = np.concatenate(idx2_parts)
+        H_edge = np.stack(H_parts)  # [E, 3, 3]
+
+        # composite score (reference relax_problem.cpp:234-309);
+        # device row arrays are padded to a bucket — slice to the R real rows
+        err_r = err_all[:R]
+        inter_score = np.where(err_r < 0, 0.0, 1.0 / (1.0 + err_r))
+        cosang = np.sum(r1w_all[:R] * r2w_all[:R], axis=1)
+        angle_score = 1.0 - cosang**2
+        desc_score = 1.0 - dist_all
+        He = H_edge[row_edge]  # [R, 3, 3]
+        src_h = np.concatenate([px1_all, np.ones((R, 1))], axis=1)
+        dst_h = np.einsum("rij,rj->ri", He, src_h)
+        wcoord = np.where(np.abs(dst_h[:, 2:3]) < 1e-12, 1e-12, dst_h[:, 2:3])
+        reproj = np.linalg.norm(dst_h[:, :2] / wcoord - px2_all, axis=1)
+        ransac_score = np.where(
+            np.isfinite(reproj), 1.0 / (1.0 + reproj), 1.0
+        )
+        score = inter_score * angle_score * desc_score * ransac_score
+
+        # best-per-cell in EITHER image, per edge
+        keep_all = np.zeros(R, bool)
+        for px_all, dims in ((px1_all, dims_src), (px2_all, dims_dst)):
+            g = np.floor(px_all / dims[row_edge] / grid_fraction).astype(np.int64)
+            cells = (row_edge.astype(np.int64) << 28) | (
+                (g[:, 0] & 0x3FFF) << 14
+            ) | (g[:, 1] & 0x3FFF)
+            order = np.lexsort((-score, cells))
+            sc = cells[order]
+            first = np.ones(R, bool)
+            first[1:] = sc[1:] != sc[:-1]
+            best = order[first]
+            keep_all[best[score[best] > 0]] = True
+
+        finite_all = np.isfinite(mid_all[:R]).all(axis=1)
+        sel = keep_all & finite_all
+        tp_list.append(mid_all[:R][sel])
+        te_list.append(err_all[:R][sel])
+
+        tri_idx_all2 = np.full(R, -1, np.int64)
+        if sel.any():
+            tri_idx_all2[sel] = mesh.find_triangles(mid_all[:R][sel, :2])
+        cand_rows = np.flatnonzero(tri_idx_all2 >= 0)
+
+        # phase 3 skip rules (reference relax_problem.cpp:435-466):
+        # measurements in multi-ray tracks, or whose cells in BOTH images
+        # are already track-covered, are redundant
+        if len(cand_rows):
+            if used_measurements:
+                um_n = np.asarray(
+                    [nid_dense.get(k[0], -1) for k in used_measurements],
+                    np.int64,
                 )
+                um_f = np.asarray([k[1] for k in used_measurements], np.int64)
+                um_keys = um_n * (1 << 24) + um_f
+                k1_keys = src_nid[row_edge[cand_rows]] * (1 << 24) + idx1_all[cand_rows]
+                k2_keys = dst_nid[row_edge[cand_rows]] * (1 << 24) + idx2_all[cand_rows]
+                in_track = np.isin(k1_keys, um_keys) | np.isin(k2_keys, um_keys)
+                cand_rows = cand_rows[~in_track]
+        if len(cand_rows) and covered_cells:
+            cov_keys = np.asarray(
+                [
+                    nid_dense[nid] * (1 << 28)
+                    + ((cx & 0x3FFF) << 14) + (cy & 0x3FFF)
+                    for nid, cs in covered_cells.items()
+                    for cx, cy in cs
+                    if nid in nid_dense
+                ],
+                np.int64,
             )
+            g1 = np.floor(
+                px1_all[cand_rows] / dims_src[row_edge[cand_rows]] / grid_fraction
+            ).astype(np.int64)
+            g2 = np.floor(
+                px2_all[cand_rows] / dims_dst[row_edge[cand_rows]] / grid_fraction
+            ).astype(np.int64)
+            c1k = src_nid[row_edge[cand_rows]] * (1 << 28) + (
+                (g1[:, 0] & 0x3FFF) << 14
+            ) + (g1[:, 1] & 0x3FFF)
+            c2k = dst_nid[row_edge[cand_rows]] * (1 << 28) + (
+                (g2[:, 0] & 0x3FFF) << 14
+            ) + (g2[:, 1] & 0x3FFF)
+            both_cov = np.isin(c1k, cov_keys) & np.isin(c2k, cov_keys)
+            cand_rows = cand_rows[~both_cov]
+
+        if len(cand_rows):
+            re = row_edge[cand_rows]
+            tri = mesh.triangles[tri_idx_all2[cand_rows]]  # [K, 3]
+            b_vert.extend(tri)
+            b_trixy.extend(mesh.vertices[tri][:, :, :2])
+            cam5 = np.zeros((len(cand_rows), 5), np.int64)
+            cam5[:, 0] = src_slot[re]
+            cam5[:, 1] = dst_slot[re]
+            b_cam.extend(cam5)
+            valid5 = np.zeros((len(cand_rows), 5), bool)
+            valid5[:, :2] = True
+            b_valid.extend(valid5)
+            b_model.extend(model_row[re])
+            p1k = px1_all[cand_rows]
+            p2k = px2_all[cand_rows]
+            pix5 = np.stack([p1k, p2k, p1k, p1k, p1k], axis=1)
+            b_pix.extend(pix5)
+            r1k = r1c_all[cand_rows]
+            r2k = r2c_all[cand_rows]
+            dir5 = np.stack([r1k, r2k, r1k, r1k, r1k], axis=1)
+            b_dir.extend(dir5)
 
     _pm_filter.__exit__()
 

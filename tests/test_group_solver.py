@@ -226,6 +226,30 @@ def test_shared_intrinsics_solver_matches_joint():
     assert np.isfinite(float(jax.tree.leaves(info.final_cost)[0].ravel()[0]))
 
 
+def test_shared_solver_chunked_assembly(monkeypatch):
+    """Regression: with blocks larger than lm._ASSEMBLE_CHUNK the normal
+    equations accumulate through a lax.scan; inside shard_map the carry
+    must not start replicated while the body adds varying data (jax vma
+    check raised `carry[0] ... {V:groups}` at the 1k-image scale)."""
+    from opencalibration_tpu.parallel.group_solver import (
+        build_group_batch,
+        extract_group_params,
+        solve_group_batch_shared,
+    )
+    from opencalibration_tpu.relax import lm
+
+    # force the scan path at test scale (default chunk is 2048)
+    monkeypatch.setattr(lm, "_ASSEMBLE_CHUNK", 8)
+
+    builts, _ = _synthetic_builts(G=4)
+    batch = build_group_batch(builts, shared_intrinsics=True)
+    solved, info = solve_group_batch_shared(
+        batch, pre_solve=False, max_iterations=25
+    )
+    g0 = extract_group_params(batch, solved, 0)
+    assert abs(float(g0.focal[0]) - 600.0) < 2.0
+
+
 def test_single_device_serial_matches_batched(
     calibrated_pipeline_session, monkeypatch
 ):
