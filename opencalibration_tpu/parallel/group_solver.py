@@ -487,14 +487,18 @@ def _solve_shared(
     point problems only the intrinsics tail is shared (n_local =
     focal_off).
 
-    One global trust-region loop: per iteration every group assembles its
-    damped normal equations, Schur-eliminates its local slots, the
-    reduced |shared|^2 system is psum-reduced over the 'groups' mesh axis
-    and solved replicated, local steps back-substitute, and a GLOBAL cost
-    (psum over groups) drives one shared accept/lambda — exactly the
-    trust-region trajectory of the joint problem
-    (reference solves the single biggest group instead,
-    relax_stage.cpp:100-111 + pipeline.cpp:634; this scales past it)."""
+    Trust region: per iteration every group assembles its damped normal
+    equations, Schur-eliminates its local slots, the reduced |shared|^2
+    system is psum-reduced over the 'groups' mesh axis and solved
+    replicated, local steps back-substitute, and a GLOBAL cost (psum over
+    groups) drives the accept test — the joint objective only ever
+    decreases. Damping is split: each group's LOCAL blocks carry their
+    own lambda (adapted from that group's own cost change), the shared
+    Schur system carries one shared lambda — so a single ill-conditioned
+    group raises only its own damping instead of throttling every
+    group's step (the reference's independent per-group solves get this
+    for free, relax_stage.cpp:100-111 + pipeline.cpp:634; this keeps it
+    while scaling past the single-biggest-group shortcut)."""
     from jax import lax
 
     try:
@@ -520,12 +524,11 @@ def _solve_shared(
             axis=1,
         )
 
-        def cost_all(p):
-            per = jax.vmap(lambda pg, bg: lm.total_cost(pg, bg))(p, blocks)
-            return lax.psum(jnp.sum(per), "groups")
+        def cost_per(p):
+            return jax.vmap(lambda pg, bg: lm.total_cost(pg, bg))(p, blocks)
 
         def body(state):
-            p, lam, it, done, cost = state
+            p, lam_l, lam_s, it, done, cost, per = state
             H, g = jax.vmap(
                 lambda pg, bg, fg: lm.normal_equations(pg, bg, layout, fg)
             )(p, blocks, free_join)
@@ -534,7 +537,7 @@ def _solve_shared(
             )  # [Gl, T]
 
             H_ll = H[:, :n_local, :n_local] + jax.vmap(jnp.diag)(
-                lam * diag[:, :n_local] + (~free_l).astype(dtype)
+                lam_l[:, None] * diag[:, :n_local] + (~free_l).astype(dtype)
             )
             H_ls = H[:, :n_local, n_local:]
             H_ss = H[:, n_local:, n_local:]
@@ -570,7 +573,7 @@ def _solve_shared(
             S = packed[:, :n_shared]
             rhs = packed[:, n_shared]
             dss = jnp.clip(packed[:, n_shared + 1], 1e-10, 1e32)
-            S = S + jnp.diag(lam * dss) + jnp.diag((~free_s).astype(dtype))
+            S = S + jnp.diag(lam_s * dss) + jnp.diag((~free_s).astype(dtype))
             d_s = -lm._jacobi_solve(S, rhs)
             d_s = jnp.where(free_s, d_s, 0.0)
 
@@ -582,15 +585,27 @@ def _solve_shared(
                 [d_l, jnp.broadcast_to(d_s[None], (Gl, n_shared))], axis=1
             )
             p_new = jax.vmap(layout.retract)(p, delta)
-            new_cost = cost_all(p_new)
+            per_new = cost_per(p_new)
+            new_cost = lax.psum(jnp.sum(per_new), "groups")
             accept = jnp.isfinite(new_cost) & (new_cost < cost)
 
             p = jax.tree.map(lambda a, b: jnp.where(accept, b, a), p, p_new)
             cost_next = jnp.where(accept, new_cost, cost)
-            lam = jnp.where(
+            per_next = jnp.where(accept, per_new, per)
+            # per-group local damping from each group's OWN cost change:
+            # a group that worsened raises its lambda even on a global
+            # accept; on a global reject, groups that improved keep theirs
+            improved = jnp.isfinite(per_new) & (per_new <= per)
+            lam_l = jnp.where(
+                improved & accept,
+                lam_l / 3.0,
+                jnp.where(improved, lam_l, lam_l * 4.0),
+            )
+            lam_l = jnp.clip(lam_l, 1e-12, 1e12)
+            lam_s = jnp.where(
                 accept,
-                jnp.maximum(lam / 3.0, 1e-12),
-                jnp.minimum(lam * 4.0, 1e12),
+                jnp.maximum(lam_s / 3.0, 1e-12),
+                jnp.minimum(lam_s * 4.0, 1e12),
             )
             step = jnp.max(jnp.abs(delta))
             step = lax.pmax(step, "groups")
@@ -599,22 +614,30 @@ def _solve_shared(
                 (cost - new_cost)
                 < function_tolerance * jnp.maximum(cost, 1e-30)
             )
-            done = step_small | cost_flat | (lam > 1e10)
-            return (p, lam, it + 1, done, cost_next)
+            done = step_small | cost_flat | (lam_s > 1e10)
+            return (p, lam_l, lam_s, it + 1, done, cost_next, per_next)
 
         def cond(state):
-            _, _, it, done, _ = state
+            _, _, _, it, done, _, _ = state
             return (~done) & (it < max_iterations)
 
-        cost0 = cost_all(params)
+        per0 = cost_per(params)
+        cost0 = lax.psum(jnp.sum(per0), "groups")
+        # the lambda vector must enter the while_loop varying over the
+        # mesh axis (the body updates it from varying per-group costs)
+        lam_l0 = lax.pcast(
+            jnp.full(per0.shape, init_lambda, dtype), "groups", to="varying"
+        )
         state0 = (
             params,
+            lam_l0,
             jnp.asarray(init_lambda, dtype),
             jnp.asarray(0, jnp.int32),
             ~jnp.isfinite(cost0),
             cost0,
+            per0,
         )
-        p, _, iters, _, cost = lax.while_loop(cond, body, state0)
+        p, _, _, iters, _, cost, _ = lax.while_loop(cond, body, state0)
         return p, lm.SolveInfo(
             initial_cost=cost0, final_cost=cost, iterations=iters
         )

@@ -767,16 +767,20 @@ class RelaxStage:
                 )
             else:
                 solved, info = solve_group_batch(batch, pre_solve=pre_solve)
-        if info is not None:
-            from opencalibration_tpu.utils.performance import add_event_count
+            # the jitted solve is dispatched asynchronously — reading the
+            # iteration count is the first sync point, so keep it INSIDE
+            # this measure or the whole solve compute shows up between
+            # counters (observed: 2000s+ of a 1k-image run unattributed)
+            if info is not None:
+                from opencalibration_tpu.utils.performance import add_event_count
 
-            try:
-                add_event_count(
-                    "lm iterations",
-                    float(np.sum(np.asarray(info.iterations))),
-                )
-            except (AttributeError, TypeError):
-                pass
+                try:
+                    add_event_count(
+                        "lm iterations",
+                        float(np.sum(np.asarray(info.iterations))),
+                    )
+                except (AttributeError, TypeError):
+                    pass
         with PerformanceMeasure("relax writeback"):
             solved = fetch_solved(solved)  # ONE device pull for all groups
             for k, i in enumerate(live):
