@@ -55,7 +55,7 @@ class PipelineState:
 
 
 RELAX_MAX_ITERATIONS = 5  # reference pipeline.cpp:39
-FINAL_RELAX_MAX_ITERATIONS = 5  # reference pipeline.cpp:40
+FINAL_RELAX_MAX_ITERATIONS = 3  # reference pipeline.cpp:40
 
 # stage weights for global progress (reference pipeline.cpp:485-520)
 _STAGE_WEIGHTS = {
