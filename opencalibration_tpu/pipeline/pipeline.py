@@ -254,15 +254,20 @@ class Pipeline:
         )
 
         # heterogeneous overlap (reference interleave, pipeline.cpp:548-556):
-        # batch N decodes on host threads WHILE the device links batch N-1
-        # and relaxes batch N-2; the device extraction joins afterwards.
-        # overlap_io=False forces the serial order (for A/B benchmarks).
+        # batch N decodes on host threads WHILE the device relaxes batch N-2
+        # (dispatched async, joined last) and batch N-1's link does its host
+        # match prep; the device extraction joins afterwards. Three stages of
+        # consecutive batches are in flight at once, like the reference's
+        # interleaved runner list. overlap_io=False forces the serial order
+        # (for A/B benchmarks).
         if self.overlap_io:
             self._load_stage.start_decode(self.parallelism)
+            with PerformanceMeasure("ip: relax dispatch"):
+                self._relax_stage.dispatch(self.graph, self.surfaces)
             with PerformanceMeasure("ip: link run"):
                 self._link_stage.run(self.graph, self.model_store)
             with PerformanceMeasure("ip: relax run"):
-                self._relax_stage.run_all(self.graph, self.surfaces)
+                self._relax_stage.join()
             with PerformanceMeasure("ip: load finish"):
                 self._load_stage.finish()
         else:

@@ -480,6 +480,8 @@ class RelaxStage:
         self.use_batched_solver = use_batched_solver
         self._plan: Optional[RelaxPlan] = None  # set by reuse_plan
         self.last_plan: Optional[RelaxPlan] = None  # exported by run_all
+        self._inflight = None  # (batch, solved, info, builts, live) between dispatch/join
+        self.max_lm_iterations: Optional[int] = None  # None = lm.DEFAULT_MAX_ITERATIONS
 
     def init(
         self,
@@ -681,6 +683,20 @@ class RelaxStage:
                     g.cam_models[mid] = model_store[mid]
 
     def run_all(self, graph: MeasurementGraph, previous_surfaces=()):
+        """Build, solve and write back in one call (dispatch + join)."""
+        self.dispatch(graph, previous_surfaces)
+        self.join()
+
+    def dispatch(self, graph: MeasurementGraph, previous_surfaces=()):
+        """Host-side problem build + ASYNC device solve dispatch.
+
+        The jitted LM solve runs on the device queue while the caller does
+        other host work (the reference interleaves load/link/relax runners,
+        pipeline.cpp:548-556; here the analogous overlap is host match prep
+        vs the in-flight group solve). ``join()`` blocks on the results and
+        writes them back; ``run_all`` = dispatch + join.
+        """
+        self._inflight = None
         self._surfaces = []
         if not self._groups:
             return
@@ -760,14 +776,35 @@ class RelaxStage:
                     [builts[i] for i in live], shared_intrinsics=shared
                 )
         self.last_plan.batch = batch
-        with PerformanceMeasure("relax solve"):
+        from opencalibration_tpu.relax import lm
+
+        iters = self.max_lm_iterations or lm.DEFAULT_MAX_ITERATIONS
+        with PerformanceMeasure("relax solve dispatch"):
             if shared:
                 solved, info = solve_group_batch_shared(
-                    batch, pre_solve=pre_solve
+                    batch, pre_solve=pre_solve, max_iterations=iters
                 )
             else:
-                solved, info = solve_group_batch(batch, pre_solve=pre_solve)
-            # the jitted solve is dispatched asynchronously — reading the
+                solved, info = solve_group_batch(
+                    batch, pre_solve=pre_solve, max_iterations=iters
+                )
+        self._inflight = (batch, solved, info, builts, live)
+
+    def join(self):
+        """Block on the in-flight group solve and write results back."""
+        if getattr(self, "_inflight", None) is None:
+            return
+        from opencalibration_tpu.parallel.group_solver import (
+            extract_group_params,
+            fetch_solved,
+        )
+        from opencalibration_tpu.relax.problem_builder import apply_solution
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+        batch, solved, info, builts, live = self._inflight
+        self._inflight = None
+        with PerformanceMeasure("relax solve"):
+            # the jitted solve was dispatched asynchronously — reading the
             # iteration count is the first sync point, so keep it INSIDE
             # this measure or the whole solve compute shows up between
             # counters (observed: 2000s+ of a 1k-image run unattributed)

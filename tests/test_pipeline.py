@@ -71,6 +71,33 @@ def test_pipeline_end_to_end(survey):
     assert all(b >= a - 1e-9 for a, b in zip(gp, gp[1:]))
 
 
+def test_overlap_matches_serial_order(survey):
+    """The three-stage overlap (async relax dispatch + decode threads,
+    reference interleave pipeline.cpp:548-556) must be a pure scheduling
+    change: INITIAL_PROCESSING with overlap on and off produces identical
+    poses and edges (the reference's determinism guarantee, README.md:7)."""
+    paths, _, _ = survey
+
+    def ingest(overlap):
+        p = Pipeline(batch_size=2)
+        p.overlap_io = overlap
+        p.add(paths)
+        while p.get_state() == PipelineState.INITIAL_PROCESSING:
+            p.iterate_once()
+        return p
+
+    a, b = ingest(True), ingest(False)
+    assert a.graph.size_nodes() == b.graph.size_nodes()
+    assert a.graph.size_edges() == b.graph.size_edges()
+    key = lambda p: {p.graph.get_node(n).payload.path: n for n in p.graph.node_ids()}
+    ka, kb = key(a), key(b)
+    for path, na in ka.items():
+        pa = a.graph.get_node(na).payload
+        pb = b.graph.get_node(kb[path]).payload
+        np.testing.assert_allclose(pa.position, pb.position, atol=1e-6)
+        np.testing.assert_allclose(pa.orientation, pb.orientation, atol=1e-6)
+
+
 def test_pipeline_skips_unreadable_files(survey, tmp_path):
     paths, _, _ = survey
     bogus = str(tmp_path / "missing.jpg")
