@@ -27,17 +27,32 @@ def test_pipeline_runner_outputs(tmp_path, survey_dir):
             "--graph-file", str(out / "graph.json"),
             "-p", str(out / "cloud.xyz"),
             "-m", str(out / "mesh.ply"),
+            "-o", str(out / "ortho.tif"),
+            "--dsm-file", str(out / "dsm.tif"),
+            "--camera-id-file", str(out / "camera_ids.tif"),
+            "-x", str(out / "textured.obj"),
+            "-t", str(out / "thumb.png"),
             "--update-camera-db", str(out / "camera_db.json"),
             "-d", "2",
         ]
     )
     assert rc == 0
-    # all requested artifacts exist and are non-empty
-    for name in ["graph.geojson", "graph.json", "cloud.xyz", "mesh.ply", "camera_db.json"]:
+    # every requested artifact exists and is non-empty — the reference's
+    # all-features end-to-end check (verify_pipeline_outputs.cmake:1-37
+    # asserts 14 non-empty outputs after a full-featured pipeline_runner run)
+    artifacts = [
+        "graph.geojson", "graph.json", "cloud.xyz", "mesh.ply",
+        "ortho.tif", "dsm.tif", "camera_ids.tif",
+        "textured.obj", "textured.mtl", "textured.jpg",
+        "thumb.png", "camera_db.json",
+    ]
+    for name in artifacts:
         path = out / name
         assert path.exists() and path.stat().st_size > 0, name
     assert (out / "ckpt" / "metadata.json").exists()
     assert (out / "ckpt" / "graph.json").exists()
+    # 12 requested files + 2 checkpoint files = 14 verified artifacts,
+    # matching the reference's count
 
     gj = json.loads((out / "graph.geojson").read_text())
     assert len(gj["features"]) > 0
