@@ -150,6 +150,10 @@ class GroupBatch:
     # local->global model slot permutation per group (shared batches);
     # kept so refresh_group_batch can re-translate masks without a rebuild
     model_perms: Optional[List[Optional[np.ndarray]]] = None
+    # (lam_l [G], lam_s scalar|None) written by the solvers after each
+    # solve; the next solve of the same batch (REPEAT iteration with
+    # refreshed values) warm-starts its trust region from these
+    warm_lambda: Optional[tuple] = None
 
 
 def build_group_batch(
@@ -395,15 +399,22 @@ def refresh_group_batch(batch: GroupBatch) -> GroupBatch:
     jax.jit, static_argnames=("layout", "pre_solve", "max_iterations")
 )
 def _solve_batch(params, blocks, free, surface_free, layout, pre_solve,
-                 max_iterations):
-    def one(p, blks, fr, sfr):
+                 max_iterations, init_lambda=None):
+    if init_lambda is None:
+        init_lambda = jnp.ones(free.shape[0], params.quats.dtype)
+
+    def one(p, blks, fr, sfr, lam0):
         if pre_solve:
             p, _ = lm.solve(
                 p, blks, layout, sfr, max_iterations=max_iterations
             )
-        return lm.solve(p, blks, layout, fr, max_iterations=max_iterations)
+        return lm.solve(
+            p, blks, layout, fr, max_iterations=max_iterations,
+            init_lambda=lam0,
+        )
 
-    return jax.vmap(one)(params, blocks, free, surface_free)
+    return jax.vmap(one)(params, blocks, free, surface_free,
+                         jnp.asarray(init_lambda))
 
 
 def _duplicate_group(tree, src: int, times: int):
@@ -421,13 +432,23 @@ def solve_group_batch(
     pre_solve: bool,
     max_iterations: int = lm.DEFAULT_MAX_ITERATIONS,
     devices=None,
+    init_lambda=None,
 ) -> Tuple[RelaxParams, "lm.SolveInfo"]:
     """Solve all groups in one dispatch; shard over devices when several
-    are visible. Returns (solved params [G-stacked], SolveInfo [G])."""
+    are visible. Returns (solved params [G-stacked], SolveInfo [G]).
+    ``init_lambda`` ([G] array) warm-starts each group's trust region
+    (use info.final_lambda from the previous REPEAT solve)."""
     devices = list(jax.devices()) if devices is None else list(devices)
     params, blocks, free, surface_free = (
         batch.params, batch.blocks, batch.free, batch.surface_free,
     )
+    if init_lambda is None and batch.warm_lambda is not None:
+        init_lambda = batch.warm_lambda[0]
+    if init_lambda is not None:
+        # clamp: a fully-converged previous solve leaves lambda at its
+        # floor — restarting there risks a long doubling climb if the
+        # refreshed problem moved; restarting too high wastes shrink steps
+        init_lambda = jnp.clip(jnp.asarray(init_lambda), 1e-6, 1e2)
     G = batch.num_groups
     D = len(devices)
     if D > 1:
@@ -447,6 +468,15 @@ def solve_group_batch(
         frozen = jnp.zeros((pad, batch.layout.dim), bool)
         free = jnp.concatenate([free, frozen])
         surface_free = jnp.concatenate([surface_free, frozen])
+        if init_lambda is not None:
+            init_lambda = jnp.concatenate(
+                [init_lambda, jnp.ones(pad, init_lambda.dtype)]
+            )
+    lam0 = (
+        None
+        if init_lambda is None
+        else jnp.asarray(init_lambda, batch.params.quats.dtype)
+    )
     if D > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -455,26 +485,28 @@ def solve_group_batch(
         put = lambda t: jax.tree.map(lambda x: jax.device_put(x, sh), t)
         params, blocks = put(params), put(blocks)
         free, surface_free = put(free), put(surface_free)
+        if lam0 is not None:
+            lam0 = jax.device_put(lam0, sh)
 
     solved, info = _solve_batch(
         params, blocks, free, surface_free, batch.layout, pre_solve,
-        max_iterations,
+        max_iterations, lam0,
     )
     if pad:
         solved = jax.tree.map(lambda x: x[:G], solved)
         info = jax.tree.map(lambda x: x[:G], info)
+    batch.warm_lambda = (info.final_lambda, None)
     return solved, info
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "layout", "mesh", "max_iterations", "n_local", "init_lambda",
-    ),
+    static_argnames=("layout", "mesh", "max_iterations", "n_local"),
 )
 def _solve_shared(
     params, blocks, free, layout, mesh, max_iterations, n_local=None,
-    init_lambda=1.0, parameter_tolerance=1e-8, function_tolerance=1e-6,
+    init_lam_l=None, init_lam_s=1.0,
+    parameter_tolerance=1e-8, function_tolerance=1e-6,
 ):
     """Joint LM over all groups with the trailing tangent block SHARED.
 
@@ -511,8 +543,13 @@ def _solve_shared(
     if n_local is None:
         n_local = layout.focal_off
     n_shared = T - n_local
+    G_tot = free.shape[0]
+    if init_lam_l is None:
+        init_lam_l = jnp.full((G_tot,), init_lam_s, dtype)
+    init_lam_l = jnp.asarray(init_lam_l, dtype)
+    init_lam_s = jnp.asarray(init_lam_s, dtype)
 
-    def device_fn(params, blocks, free):
+    def device_fn(params, blocks, free, lam_l0, lam_s0):
         # leaves carry the device-local group shard [Gl, ...]
         free_l = free[:, :n_local]  # [Gl, nl]
         # shared tail must be identical across groups for a joint problem
@@ -528,7 +565,7 @@ def _solve_shared(
             return jax.vmap(lambda pg, bg: lm.total_cost(pg, bg))(p, blocks)
 
         def body(state):
-            p, lam_l, lam_s, it, done, cost, per = state
+            p, lam_l, lam_s, nu_s, it, done, cost, per = state
             H, g = jax.vmap(
                 lambda pg, bg, fg: lm.normal_equations(pg, bg, layout, fg)
             )(p, blocks, free_join)
@@ -587,25 +624,48 @@ def _solve_shared(
             p_new = jax.vmap(layout.retract)(p, delta)
             per_new = cost_per(p_new)
             new_cost = lax.psum(jnp.sum(per_new), "groups")
-            accept = jnp.isfinite(new_cost) & (new_cost < cost)
+
+            # gain ratio for the JOINT step: predicted decrease of the
+            # (undamped) Gauss-Newton model, summed over groups — each
+            # group's quadratic uses its own H/g slice, the shared-tail
+            # contributions add up to the joint model exactly
+            lin_g = jnp.einsum("gs,gs->g", g, delta)
+            quad_g = jnp.einsum("gst,gs,gt->g", H, delta, delta)
+            pred_g = -(lin_g + 0.5 * quad_g)
+            pred = lax.psum(jnp.sum(pred_g), "groups")
+            rho = (cost - new_cost) / jnp.maximum(pred, 1e-30)
+            accept = jnp.isfinite(new_cost) & (new_cost < cost) & (pred > 0)
 
             p = jax.tree.map(lambda a, b: jnp.where(accept, b, a), p, p_new)
             cost_next = jnp.where(accept, new_cost, cost)
             per_next = jnp.where(accept, per_new, per)
-            # per-group local damping from each group's OWN cost change:
+            # per-group local damping from each group's OWN gain ratio:
             # a group that worsened raises its lambda even on a global
             # accept; on a global reject, groups that improved keep theirs
-            improved = jnp.isfinite(per_new) & (per_new <= per)
+            rho_g = (per - per_new) / jnp.maximum(pred_g, 1e-30)
+            shrink_g = jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rho_g - 1.0) ** 3
+            )
+            improved = (
+                jnp.isfinite(per_new) & (per_new <= per) & (pred_g > 0)
+            )
             lam_l = jnp.where(
                 improved & accept,
-                lam_l / 3.0,
+                lam_l * shrink_g,
                 jnp.where(improved, lam_l, lam_l * 4.0),
             )
             lam_l = jnp.clip(lam_l, 1e-12, 1e12)
+            # shared lambda: Nielsen schedule on the joint gain ratio
+            shrink_s = jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+            )
             lam_s = jnp.where(
                 accept,
-                jnp.maximum(lam_s / 3.0, 1e-12),
-                jnp.minimum(lam_s * 4.0, 1e12),
+                jnp.clip(lam_s * shrink_s, 1e-12, 1e12),
+                jnp.minimum(lam_s * nu_s, 1e12),
+            )
+            nu_s = jnp.where(
+                accept, jnp.asarray(2.0, dtype), jnp.minimum(nu_s * 2.0, 1e6)
             )
             step = jnp.max(jnp.abs(delta))
             step = lax.pmax(step, "groups")
@@ -615,31 +675,34 @@ def _solve_shared(
                 < function_tolerance * jnp.maximum(cost, 1e-30)
             )
             done = step_small | cost_flat | (lam_s > 1e10)
-            return (p, lam_l, lam_s, it + 1, done, cost_next, per_next)
+            return (p, lam_l, lam_s, nu_s, it + 1, done, cost_next, per_next)
 
         def cond(state):
-            _, _, _, it, done, _, _ = state
+            _, _, _, _, it, done, _, _ = state
             return (~done) & (it < max_iterations)
 
         per0 = cost_per(params)
         cost0 = lax.psum(jnp.sum(per0), "groups")
-        # the lambda vector must enter the while_loop varying over the
-        # mesh axis (the body updates it from varying per-group costs)
-        lam_l0 = lax.pcast(
-            jnp.full(per0.shape, init_lambda, dtype), "groups", to="varying"
-        )
         state0 = (
             params,
             lam_l0,
-            jnp.asarray(init_lambda, dtype),
+            lam_s0,
+            jnp.asarray(2.0, dtype),
             jnp.asarray(0, jnp.int32),
             ~jnp.isfinite(cost0),
             cost0,
             per0,
         )
-        p, _, _, iters, _, cost, _ = lax.while_loop(cond, body, state0)
-        return p, lm.SolveInfo(
-            initial_cost=cost0, final_cost=cost, iterations=iters
+        p, lam_l, lam_s, _, iters, _, cost, _ = lax.while_loop(
+            cond, body, state0
+        )
+        return (
+            p,
+            lm.SolveInfo(
+                initial_cost=cost0, final_cost=cost, iterations=iters,
+                final_lambda=lam_s,
+            ),
+            lam_l,
         )
 
     from jax.sharding import PartitionSpec as P
@@ -647,16 +710,16 @@ def _solve_shared(
     gspec = jax.tree.map(lambda _: P("groups"), params)
     bspec = jax.tree.map(lambda _: P("groups"), blocks)
     rep = lm.SolveInfo(
-        initial_cost=P(), final_cost=P(), iterations=P()
+        initial_cost=P(), final_cost=P(), iterations=P(), final_lambda=P()
     )
     # f32 matmul inputs (TPU default is bfloat16) — see lm._solve_impl
     with jax.default_matmul_precision("float32"):
         return shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(gspec, bspec, P("groups")),
-            out_specs=(gspec, rep),
-        )(params, blocks, free)
+            in_specs=(gspec, bspec, P("groups"), P("groups"), P()),
+            out_specs=(gspec, rep, P("groups")),
+        )(params, blocks, free, init_lam_l, init_lam_s)
 
 
 def solve_group_batch_shared(
@@ -728,7 +791,7 @@ def solve_group_batch_shared(
         if share_mesh:
             # the pre-solve moves the (shared) surface: solve it jointly
             # so every group's copy stays identical
-            params, _ = _solve_shared(
+            params, _, _ = _solve_shared(
                 params, blocks, surface_free, layout, mesh,
                 max_iterations, n_local=n_local,
             )
@@ -739,11 +802,27 @@ def solve_group_batch_shared(
                 jnp.zeros_like(surface_free), layout, False,
                 max_iterations,
             )
-    solved, info = _solve_shared(
+    # warm-start the main joint solve from the previous REPEAT's exit
+    # damping (clamped away from both rails — see solve_group_batch)
+    lam_l0, lam_s0 = None, 1.0
+    if batch.warm_lambda is not None and batch.warm_lambda[1] is not None:
+        wl, ws = batch.warm_lambda
+        lam_s0 = jnp.clip(jnp.asarray(ws), 1e-6, 1e2)
+        if wl is not None:
+            wl = jnp.clip(jnp.asarray(wl), 1e-6, 1e2)
+            if pad:
+                wl = jnp.concatenate([wl, jnp.ones(pad, wl.dtype)])
+            lam_l0 = jax.device_put(
+                wl.astype(batch.params.quats.dtype), sh
+            )
+    solved, info, lam_l = _solve_shared(
         params, blocks, free, layout, mesh, max_iterations, n_local=n_local,
+        init_lam_l=lam_l0, init_lam_s=lam_s0,
     )
     if pad:
         solved = jax.tree.map(lambda x: x[:G], solved)
+        lam_l = lam_l[:G]
+    batch.warm_lambda = (lam_l, info.final_lambda)
     return solved, info
 
 
