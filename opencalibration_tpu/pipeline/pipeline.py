@@ -308,6 +308,12 @@ class Pipeline:
     _MESH_VARIANCE_GSD_MULTIPLIER = 2.0
     _MESH_BASE_GRID_FRACTION = 0.1
     _MESH_MAX_GRID_LEVELS = 3
+    # LM budget per refinement REPEAT: each level re-solves the same
+    # cached problem structure with warm-started trust region, so a
+    # bounded continuation per pass converges across REPEATs instead of
+    # paying a full 100-iteration solve per pass (the reference bounds
+    # each level's relax-refine loop the same way, pipeline.cpp:38,666)
+    _MESH_REFINE_LM_BUDGET = 30
 
     def _mesh_gsd(self, grid_fraction: float):
         """Mean ground-sample distance + the level's minimum triangle size
@@ -376,10 +382,16 @@ class Pipeline:
                     self.surfaces = [SurfaceModel(cloud=[], mesh=mesh)]
 
         frac = self._MESH_BASE_GRID_FRACTION / (2.0 ** self._mesh_grid_level)
-        self._global_relax(
-            RelaxOptions(orientation=True, ground_mesh=True, grid_fraction=frac),
-            None, False,
-        )
+        self._relax_stage.max_lm_iterations = self._MESH_REFINE_LM_BUDGET
+        try:
+            self._global_relax(
+                RelaxOptions(
+                    orientation=True, ground_mesh=True, grid_fraction=frac
+                ),
+                None, False,
+            )
+        finally:
+            self._relax_stage.max_lm_iterations = None
         if not self.surfaces:
             return "NEXT"
 
@@ -628,4 +640,6 @@ class Pipeline:
         return "NEXT"
 
     def _run_complete(self) -> str:
-        return "REPEAT"
+        # terminal: neither NEXT (no later state) nor REPEAT (callers
+        # looping on iterate_once() returns would spin the run counter)
+        return "DONE"
