@@ -172,6 +172,24 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
     }
+
+    # the OPERATIONAL metric alongside the fused-compute headline: the
+    # same 24-image survey through the REAL Pipeline end-to-end (decode ->
+    # extract -> link -> spectral-group relax -> mesh refinement ->
+    # camera-parameter relax -> final relax), what BASELINE.md optimizes
+    try:
+        from bench_e2e import run_config
+
+        e2e = run_config(N_IMAGES, batch_size=N_IMAGES)
+        result["e2e"] = {
+            k: e2e[k]
+            for k in (
+                "n_images", "wall_s", "images_per_sec_e2e",
+                "lm_iterations", "median_pose_err_m", "final_state",
+            )
+        }
+    except Exception as exc:  # never lose the headline to the e2e leg
+        result["e2e"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     print(json.dumps(result))
 
 
