@@ -2,12 +2,15 @@
 the pattern of the reference's end-to-end test target
 (reference test/CMakeLists.txt:71-83 + verify_pipeline_outputs.cmake)."""
 
+
 import json
 import os
 import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 
 def test_pipeline_runner_outputs(tmp_path, survey_dir):

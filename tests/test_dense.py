@@ -1,8 +1,11 @@
 """Dense stereo densification test on the calibrated synthetic survey
 (the pattern of reference test/test_dense.cpp)."""
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 
 @pytest.fixture(scope="module")

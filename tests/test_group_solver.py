@@ -5,10 +5,13 @@ poses as the serial per-group lm.solve loop — the contract VERDICT round-1
 item 2 asks for: groups solve in O(1) dispatches on the 8-device CPU mesh
 with pose parity against the serial path."""
 
+
 import copy
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 import jax
 

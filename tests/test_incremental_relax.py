@@ -7,8 +7,11 @@ incremental ingestion anchors new images to the solved survey. Without
 the halo, each batch relaxes only against itself and batches drift apart.
 """
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 
 def _run_pipeline(paths, batch_size):

@@ -4,8 +4,11 @@ an altitude-varied synthetic survey, through the full option schedule,
 inverse->forward model copy-back (relax_problem.cpp:1416-1419) and
 RelaxGroup edge refit (relax_group.cpp:119-178)."""
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 from tests.synthetic_survey import FOCAL, write_survey
 

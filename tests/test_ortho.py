@@ -2,8 +2,11 @@
 blending kernels, color balance, thumbnail + full-res orthomosaic on the
 synthetic survey (the pattern of reference test_ortho_functional.cpp)."""
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 import jax.numpy as jnp
 

@@ -10,8 +10,11 @@ and O(P*K) thumbnail sampling.
   [N_cameras, P, 3]).
 """
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 from opencalibration_tpu.types.camera import CameraModel
 from opencalibration_tpu.types.graph import (

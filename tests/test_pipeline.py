@@ -2,8 +2,11 @@
 of reference test/test_pipeline.cpp, with exact ground truth instead of
 the test_data submodule)."""
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 from opencalibration_tpu.ops.quaternion import (
     quat_angle,

@@ -1,6 +1,10 @@
 """refit_all_edges: batched bucketed refit must match the serial per-edge
 reference implementation (reference relax_group.cpp:119-178)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
+
 import copy
 
 import numpy as np

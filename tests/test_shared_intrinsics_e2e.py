@@ -10,8 +10,11 @@ and requires focal recovery within the same bound as the single-group
 test (tests/test_intrinsics_e2e.py).
 """
 
+
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / device-heavy module
 
 from tests.synthetic_survey import FOCAL, write_survey
 

@@ -8,9 +8,9 @@ echo "== compileall =="
 python -m compileall -q opencalibration_tpu/ apps/ tests/ bench.py
 
 echo "== fast tests (virtual 8-device CPU mesh) =="
+# heavy full-pipeline/device modules carry @pytest.mark.slow; the full
+# suite (including them) is the CI leg: python -m pytest tests/ -q
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  python -m pytest tests/ -q -x \
-    --ignore=tests/test_pipeline.py --ignore=tests/test_cli.py \
-    --ignore=tests/test_ortho.py --ignore=tests/test_dense.py
+  python -m pytest tests/ -q -x -m "not slow"
 
 echo "== OK =="
