@@ -72,29 +72,31 @@ def robust_centroid(points, valid, huber_threshold):
     emulated as freezing further updates)."""
     dtype = points.dtype
     v = valid.astype(dtype)
+    # non-finite payloads in masked-out rows must not poison the sums
+    points = jnp.where(valid[:, None], points, 0.0)
     n = jnp.maximum(jnp.sum(v), 1.0)
     centroid = jnp.sum(points * v[:, None], axis=0) / n
 
-    def stage(carry, _):
-        centroid, done = carry
+    # UNROLLED fixed 3 iterations (not lax.scan): inside the LM solve this
+    # runs under vmap(groups) x vmap(blocks) x jacfwd(tangents), and a
+    # scan/while boundary forces the loop-carried [G, B, Tangent, 5, 3]
+    # buffers to be materialized in HBM with (8,128) tile padding on the
+    # tiny minor dims — a measured 68x expansion (12 GB for 180 MB of
+    # data) that OOM'd the 1k-image global relax on v5e. Straight-line
+    # code keeps every stage fusion-internal.
+    done = jnp.sum(points) * 0.0 > 1.0  # data-derived False (shard_map)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    for _ in range(3):
         err = jnp.linalg.norm(points - centroid, axis=-1)
         w = 1.0 / (err + 1e-8)
         w = jnp.where(err > huber_threshold, w * huber_threshold / jnp.maximum(err, 1e-30), w)
         w = w * v
         total = jnp.maximum(jnp.sum(w), 1e-30)
         new_centroid = jnp.sum(w[:, None] * points, axis=0) / total
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
         min_w = jnp.min(jnp.where(valid, w, big))
         max_w = jnp.max(jnp.where(valid, w, 0.0))
         centroid = jnp.where(done, centroid, new_centroid)
         done = done | (min_w > max_w * 0.5)
-        return (centroid, done), None
-
-    # derive the initial `done` from the data so its varying-axes type
-    # matches the loop output under shard_map (a literal False is
-    # replicated and lax.scan rejects the replicated->varying carry)
-    done0 = jnp.sum(points) * 0.0 > 1.0
-    (centroid, _), _ = jax.lax.scan(stage, (centroid, done0), None, length=3)
     return centroid
 
 

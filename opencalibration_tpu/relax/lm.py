@@ -127,7 +127,10 @@ def _accumulate_hg(H, g, JtJ, Jtr, slots):
     return H + dH, g + dg
 
 
-def _block_hg(params: RelaxParams, blk: BlockSpec, H, g, free_mask):
+def _block_quadratics(params: RelaxParams, blk: BlockSpec, free_mask):
+    """Per-instance Gauss-Newton quadratics for one block family:
+    (JtJ_w [B, L, L], Jtr_w [B, L]) — robust-weighted, free-mask-column
+    masked, non-finite instances zeroed."""
     L = blk.slots.shape[1]
     dtype = params.quats.dtype
 
@@ -152,6 +155,11 @@ def _block_hg(params: RelaxParams, blk: BlockSpec, H, g, free_mask):
     Jm = J * col_mask[:, None, :]
     JtJ = jnp.einsum("brl,brm->blm", Jm, Jm) * w[:, None, None]
     Jtr = jnp.einsum("brl,br->bl", Jm, r) * w[:, None]
+    return JtJ, Jtr
+
+
+def _block_hg(params: RelaxParams, blk: BlockSpec, H, g, free_mask):
+    JtJ, Jtr = _block_quadratics(params, blk, free_mask)
     return _accumulate_hg(H, g, JtJ, Jtr, blk.slots)
 
 
@@ -163,6 +171,111 @@ def normal_equations(params: RelaxParams, blocks: Sequence[BlockSpec], layout, f
     for blk in blocks:
         H, g = _block_hg(params, blk, H, g, free_mask)
     return H, g
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free normal-equation operator (the ITERATIVE/CGNR-scale path).
+#
+# The dense path's one-hot assembly costs O(B*L*T^2) per LM iteration and
+# the factorization O(T^3); both explode with mesh vertex count (global
+# ground-mesh relax at 1k images: T ~ 4-5k). The structure slots are not
+# block-diagonal (triangle costs couple 3 vertices, smoothness priors
+# couple neighbours), so a Ceres-SPARSE_SCHUR split
+# (reference src/relax/relax_problem.cpp:122-145) degenerates to another
+# dense factorization here. The scalable TPU-native equivalent is Ceres'
+# other large-scale solver family (ITERATIVE_SCHUR / CGNR): keep the
+# Gauss-Newton quadratics in per-instance block form and run a
+# Jacobi-preconditioned conjugate-gradient solve whose matvec is
+# gather -> [L,L] einsum -> sorted segment-sum scatter: O(B*L^2) per CG
+# iteration, independent of T^2, at any mesh size.
+# ---------------------------------------------------------------------------
+
+
+def _quads_all(params, blocks, free):
+    """Quadratics for every family + exact diag(H) + gradient g [T]."""
+    quads = [_block_quadratics(params, b, free) for b in blocks]
+    return quads
+
+
+def _flat_slot_order(blocks, T):
+    """Sort order over the concatenated flattened slot lists of all block
+    families (slots are solve-constant, so this is computed once per
+    solve and reused by every scatter)."""
+    flat = jnp.concatenate([b.slots.reshape(-1) for b in blocks])
+    perm = jnp.argsort(flat)
+    return perm, flat[perm]
+
+
+def _scatter_sorted(parts, perm, sorted_ids, T):
+    """Sum a list of per-family [B, L] contributions into a [T] vector via
+    the precomputed sorted order (sorted segment-sum lowers to an
+    efficient segmented reduction on TPU, unlike random scatter-add)."""
+    flat = jnp.concatenate([p.reshape(-1) for p in parts])[perm]
+    return jax.ops.segment_sum(
+        flat, sorted_ids, num_segments=T, indices_are_sorted=True
+    )
+
+
+def _gn_matvec(v, quads, blocks, perm, sorted_ids, T):
+    """H @ v with H = sum_b O_b^T JtJ_b O_b, never materializing H."""
+    parts = [
+        jnp.einsum("blm,bm->bl", JtJ, v[blk.slots])
+        for (JtJ, _), blk in zip(quads, blocks)
+    ]
+    return _scatter_sorted(parts, perm, sorted_ids, T)
+
+
+def _gn_diag(quads, blocks, perm, sorted_ids, T):
+    """Exact diag(H): within-instance duplicate slots (padded rays
+    aliasing a live slot carry zero jacobian columns, but exactness is
+    cheap) fold their cross terms into the diagonal, matching
+    jnp.diag(one-hot-assembled H)."""
+    parts = []
+    for (JtJ, _), blk in zip(quads, blocks):
+        eq = (blk.slots[:, :, None] == blk.slots[:, None, :]).astype(JtJ.dtype)
+        parts.append(jnp.sum(JtJ * eq, axis=-1))
+    return _scatter_sorted(parts, perm, sorted_ids, T)
+
+
+def _gn_grad(quads, blocks, perm, sorted_ids, T):
+    parts = [Jtr for (_, Jtr) in quads]
+    return _scatter_sorted(parts, perm, sorted_ids, T)
+
+
+def _pcg(matvec, b, pre_diag, rtol, max_iters):
+    """Jacobi-preconditioned CG from x0 = 0. Returns (x, r_final)."""
+    dtype = b.dtype
+    tol2 = (rtol * rtol) * jnp.maximum(jnp.sum(b * b), 1e-38)
+    z0 = b / pre_diag
+    state0 = (
+        jnp.zeros_like(b),  # x
+        b,  # r
+        z0,  # p
+        jnp.sum(b * z0),  # rz
+        jnp.asarray(0, jnp.int32),
+        jnp.sum(b * b) <= 0.0,  # done (zero rhs)
+    )
+
+    def cond(s):
+        x, r, p, rz, k, done = s
+        return (~done) & (k < max_iters) & (jnp.sum(r * r) > tol2)
+
+    def body(s):
+        x, r, p, rz, k, done = s
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        ok = (pAp > 0) & jnp.isfinite(pAp)
+        alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-38), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r / pre_diag
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-38), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1, done | ~ok)
+
+    x, r, _, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    return x, r
 
 
 def _jacobi_solve(A, b):
@@ -189,11 +302,20 @@ class SolveInfo:
     final_lambda: jnp.ndarray
 
 
+# dense [T, T] assembly + factorization above this tangent dimension is
+# slower than the matrix-free PCG path (assembly is O(B*L*T^2)); measured
+# crossover on v5e/CPU sits near 1k — below it the dense Cholesky's exact
+# steps win on LM iteration count
+CG_DIM_THRESHOLD = 1024
+CG_RTOL = 1e-2  # forcing tolerance (Ceres ITERATIVE_SCHUR eta default 0.1)
+CG_MAX_ITERS = 100
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "layout", "max_iterations",
-        "parameter_tolerance", "function_tolerance",
+        "parameter_tolerance", "function_tolerance", "linear_solver",
     ),
 )
 def solve(
@@ -205,24 +327,31 @@ def solve(
     init_lambda=1.0,
     parameter_tolerance: float = 1e-8,
     function_tolerance: float = 1e-6,
+    linear_solver: str = "auto",
 ):
     """Run LM to convergence (data-dependent iteration count via
     lax.while_loop). Jitted: compilations are cached per (layout, block
     shapes) — builders pad block counts to buckets so repeated pipeline
     iterations reuse the compiled solver. ``init_lambda`` is a DYNAMIC
-    argument (warm-started values don't recompile). Returns
+    argument (warm-started values don't recompile). ``linear_solver``:
+    'cholesky' (dense normal equations), 'cg' (matrix-free Jacobi-PCG,
+    scales past dense assembly), or 'auto' (by layout.dim). Returns
     (params, SolveInfo). `blocks` must be a tuple (hashable pytree
     structure)."""
+    if linear_solver == "auto":
+        linear_solver = (
+            "cg" if layout.dim >= CG_DIM_THRESHOLD else "cholesky"
+        )
     with jax.default_matmul_precision("float32"):
         return _solve_impl(
             params, blocks, layout, free_mask, max_iterations, init_lambda,
-            parameter_tolerance, function_tolerance,
+            parameter_tolerance, function_tolerance, linear_solver,
         )
 
 
 def _solve_impl(
     params, blocks, layout, free_mask, max_iterations, init_lambda,
-    parameter_tolerance, function_tolerance,
+    parameter_tolerance, function_tolerance, linear_solver="cholesky",
 ):
     # NOTE on TPU numerics: the caller wraps this trace in
     # default_matmul_precision("float32") — TPU matmuls/einsums otherwise
@@ -242,23 +371,52 @@ def _solve_impl(
         _, _, _, it, done, _ = state
         return (~done) & (it < max_iterations)
 
+    frozen = ~free
+    if linear_solver == "cg":
+        perm_so = _flat_slot_order(blocks, T)
+
     def body(state):
         p, lam, nu, it, done, cost = state
-        H, g = normal_equations(p, blocks, layout, free)
-        diag = jnp.clip(jnp.diag(H), 1e-10, 1e32)
-        # frozen slots: unit diagonal keeps the system SPD, zero gradient
-        frozen = ~free
-        A = H + lam * jnp.diag(diag)
-        A = A + jnp.diag(frozen.astype(dtype))
-        delta = -_jacobi_solve(A, g)
-        delta = jnp.where(free, delta, 0.0)
+        if linear_solver == "cg":
+            perm, sorted_ids = perm_so
+            quads = _quads_all(p, blocks, free)
+            g = _gn_grad(quads, blocks, perm, sorted_ids, T)
+            diag = jnp.clip(
+                _gn_diag(quads, blocks, perm, sorted_ids, T), 1e-10, 1e32
+            )
+            # A = H + lam diag(H) + I_frozen, applied matrix-free
+            damp = lam * diag + frozen.astype(dtype)
+
+            def matvec(v):
+                return (
+                    _gn_matvec(v, quads, blocks, perm, sorted_ids, T)
+                    + damp * v
+                )
+
+            delta, r_cg = _pcg(
+                matvec, -g, diag + damp, CG_RTOL, CG_MAX_ITERS
+            )
+            delta = jnp.where(free, delta, 0.0)
+            # inexact step: model decrease from the CG residual
+            # (A delta = -g - r  =>  pred = 0.5 (delta.r - delta.g))
+            pred = 0.5 * (jnp.sum(delta * r_cg) - jnp.sum(delta * g))
+        else:
+            H, g = normal_equations(p, blocks, layout, free)
+            diag = jnp.clip(jnp.diag(H), 1e-10, 1e32)
+            # frozen slots: unit diagonal keeps the system SPD, zero
+            # gradient
+            A = H + lam * jnp.diag(diag)
+            A = A + jnp.diag(frozen.astype(dtype))
+            delta = -_jacobi_solve(A, g)
+            delta = jnp.where(free, delta, 0.0)
+            # gain ratio (Nielsen/Ceres trust region): actual cost
+            # decrease over the decrease the damped quadratic model
+            # predicted —
+            # (H + lam D) delta = -g  =>  pred = 0.5 delta^T (lam D delta - g)
+            pred = 0.5 * jnp.sum(delta * (lam * diag * delta - g))
 
         p_new = layout.retract(p, delta)
         new_cost = total_cost(p_new, blocks)
-        # gain ratio (Nielsen/Ceres trust region): actual cost decrease
-        # over the decrease the damped quadratic model predicted —
-        # (H + lam D) delta = -g  =>  pred = 0.5 delta^T (lam D delta - g)
-        pred = 0.5 * jnp.sum(delta * (lam * diag * delta - g))
         rho = (cost - new_cost) / jnp.maximum(pred, 1e-30)
         accept = jnp.isfinite(new_cost) & (new_cost < cost) & (pred > 0)
 
