@@ -24,7 +24,11 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def run_config(n_images: int, batch_size: int = 64) -> dict:
+def run_config(n_images: int, batch_size: int = 64,
+               stop_after: str | None = None) -> dict:
+    """stop_after: optionally end the run once the named state completes
+    (e.g. 'MESH_REFINEMENT') — used for partial at-scale probes (10k)
+    where the point is per-state attribution, not a full survey."""
     from opencalibration_tpu.pipeline.pipeline import Pipeline
     from opencalibration_tpu.utils.performance import (
         enable_performance_counters,
@@ -93,6 +97,8 @@ def run_config(n_images: int, batch_size: int = 64) -> dict:
         )
         if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
             break
+        if stop_after is not None and cur == stop_after and state != cur:
+            break
     wall = time.perf_counter() - t0
 
     lm_iters = get_event_count("lm iterations")
@@ -132,9 +138,12 @@ def run_config(n_images: int, batch_size: int = 64) -> dict:
 
 
 def main():
+    import os
+
+    stop_after = os.environ.get("BENCH_E2E_STOP_AFTER") or None
     sizes = [int(a) for a in sys.argv[1:]] or [100, 1000]
     for n in sizes:
-        result = run_config(n)
+        result = run_config(n, stop_after=stop_after)
         print(json.dumps(result), flush=True)
 
 
