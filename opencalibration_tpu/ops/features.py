@@ -8,9 +8,18 @@ dense sets).
 Architecture notes (not a translation):
 * the nonlinear-diffusion scale space of AKAZE is replaced by a Gaussian
   scale space built from separable depthwise convolutions — XLA fuses the
-  whole pyramid into a handful of conv kernels on the MXU. (Conductivity-
-  weighted FED diffusion can be layered on later as repeated 3x3 stencil
-  convs; the detection/description machinery below is agnostic to it.)
+  whole pyramid into a handful of conv kernels on the MXU. A
+  conductivity-weighted FED scale space (AKAZE's diffusion,
+  extract_features.cpp:35) is available via ``diffusion="fed"``.
+  Default justification (bench_fed_ab.py, 24-image bench survey,
+  2026-08-19): Gaussian extracts 5.6x faster (6.34 vs 1.13 img/s on one
+  CPU core; the FED stencil chain is serial in scale and cannot be
+  decimated) with HIGHER 3px repeatability under real viewpoint change
+  (0.834 vs 0.785) and ~2x the RANSAC pose-decomposition score through
+  the production match path (188 vs 99); FED's only edge was 0.08
+  degrees of median tilt error (0.27 vs 0.35, both well under the relax
+  noise floor). On this workload the linear pyramid dominates, so it
+  stays the default.
 * detection is the scale-normalized Hessian determinant with 3x3x3
   (x, y, scale) max-pool NMS — the same response AKAZE thresholds — and a
   top-K selection to fixed shape.
