@@ -68,6 +68,75 @@ def connected_components(n: int, edges):
     return labels
 
 
+# Max k-way split asked of one eigsh call. Direct NJW with k ~ m /
+# max_cluster_size eigenpairs stops scaling long before the 10k-image
+# survey config: shift-invert Lanczos at k ~ 200 on a 10k-node Laplacian
+# exceeds 5 minutes (measured), and the relax plan cache re-pays it on
+# every mesh-topology change. Above _DIRECT_K target clusters the
+# partition becomes hierarchical: one cheap 16-way spectral split, then
+# recursion into each coarse piece — O(log m) small eigsh calls whose
+# subgraphs shrink geometrically.
+_DIRECT_K = 16
+
+
+def _spectral_kway(m, ei, ej, w, k, seed):
+    """Ng-Jordan-Weiss k-way labels for one subgraph ([ei, ej, w] local
+    indices). Raises on eigensolver failure (caller falls back). The
+    shift is -0.01, NOT 0: the normalized Laplacian of a connected graph
+    is exactly singular at 0, so sigma=0 shift-invert hands ARPACK a
+    singular factorization (reference Spectra usage computes smallest
+    eigenpairs directly, spectral_cluster.hpp:17-252)."""
+    W = sp.coo_matrix(
+        (np.concatenate([w, w]), (np.concatenate([ei, ej]), np.concatenate([ej, ei]))),
+        shape=(m, m),
+    ).tocsr()
+    d = np.asarray(W.sum(axis=1)).ravel()
+    d_inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    Dinv = sp.diags(d_inv_sqrt)
+    L = sp.identity(m) - Dinv @ W @ Dinv
+    nev = min(k + 1, m - 1)
+    vals, vecs = spla.eigsh(L, k=nev, sigma=-0.01, which="LM", v0=np.ones(m))
+    order = np.argsort(vals)
+    emb = vecs[:, order[: min(k, nev)]]
+    # row-normalize (Ng-Jordan-Weiss)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.maximum(norms, 1e-12)
+    return kmeans(emb, k, seed=seed)
+
+
+def _partition(m, ei, ej, w, pts, max_cluster_size, seed):
+    """Labels [m] for one subgraph, each cluster ~max_cluster_size.
+    Hierarchical above _DIRECT_K clusters; geometric-kmeans fallback when
+    the eigensolve fails or a coarse split makes no progress."""
+    k = int(np.ceil(m / max_cluster_size))
+    if k <= 1:
+        return np.zeros(m, np.int64)
+    kk = min(k, _DIRECT_K)
+    try:
+        coarse = _spectral_kway(m, ei, ej, w, kk, seed)
+    except Exception:
+        coarse = kmeans(pts, kk, seed=seed)
+    if k <= _DIRECT_K:
+        return coarse
+    if np.bincount(coarse).max() >= m:  # degenerate split: no progress
+        return kmeans(pts, k, seed=seed)
+    out = np.zeros(m, np.int64)
+    next_label = 0
+    sub = -np.ones(m, np.int64)
+    for cl in np.unique(coarse):
+        sel = np.flatnonzero(coarse == cl)
+        sub[:] = -1
+        sub[sel] = np.arange(len(sel))
+        mask = (coarse[ei] == cl) & (coarse[ej] == cl)
+        rec = _partition(
+            len(sel), sub[ei[mask]], sub[ej[mask]], w[mask], pts[sel],
+            max_cluster_size, seed,
+        )
+        out[sel] = rec + next_label
+        next_label += int(rec.max()) + 1
+    return out
+
+
 def spectral_cluster(
     n: int,
     edges,
@@ -81,7 +150,9 @@ def spectral_cluster(
     Semantics follow reference spectral_cluster.hpp: split into connected
     components first; per component, embed with the normalized Laplacian's
     smallest eigenvectors and k-means in eigenspace; fall back to geometric
-    k-means on the camera positions when the eigensolve fails.
+    k-means on the camera positions when the eigensolve fails. Components
+    needing more than _DIRECT_K clusters are split hierarchically (see
+    _DIRECT_K note) so the 10k-image survey clusters in seconds.
 
     Returns labels [n] with contiguous cluster ids.
     """
@@ -97,8 +168,7 @@ def spectral_cluster(
     for c in np.unique(comp):
         idx = np.where(comp == c)[0]
         m = len(idx)
-        k = int(np.ceil(m / max_cluster_size))
-        if k <= 1:
+        if m <= max_cluster_size:
             labels[idx] = next_label
             next_label += 1
             continue
@@ -110,28 +180,7 @@ def spectral_cluster(
         ej = sub[edges[mask, 1]]
         w = edge_weights[mask]
 
-        sub_labels = None
-        try:
-            W = sp.coo_matrix(
-                (np.concatenate([w, w]), (np.concatenate([ei, ej]), np.concatenate([ej, ei]))),
-                shape=(m, m),
-            ).tocsr()
-            d = np.asarray(W.sum(axis=1)).ravel()
-            d_inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
-            Dinv = sp.diags(d_inv_sqrt)
-            L = sp.identity(m) - Dinv @ W @ Dinv
-            nev = min(k + 1, m - 1)
-            vals, vecs = spla.eigsh(L, k=nev, sigma=0, which="LM", v0=np.ones(m))
-            emb = vecs[:, :k]
-            # row-normalize (Ng-Jordan-Weiss)
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
-            emb = emb / np.maximum(norms, 1e-12)
-            sub_labels = kmeans(emb, k, seed=seed)
-        except Exception:
-            sub_labels = None
-
-        if sub_labels is None:
-            sub_labels = kmeans(points[idx], k, seed=seed)
+        sub_labels = _partition(m, ei, ej, w, points[idx], max_cluster_size, seed)
 
         # enforce max size by splitting oversized clusters geometrically
         out = np.zeros(m, np.int64)

@@ -488,10 +488,41 @@ def solve_group_batch(
         if lam0 is not None:
             lam0 = jax.device_put(lam0, sh)
 
-    solved, info = _solve_batch(
-        params, blocks, free, surface_free, batch.layout, pre_solve,
-        max_iterations, lam0,
-    )
+    # HBM relief valve for very large surveys on one chip: cap groups per
+    # dispatch (power of two so every chunk reuses one compiled module).
+    # The vmapped solve holds every group's per-block quadratics at once;
+    # at 10k-image scale (200+ pose groups) that can exceed a single v5e's
+    # 16 GB. Chunks run sequentially on the device queue — same total
+    # compute, bounded live memory.
+    import os
+
+    chunk_env = os.environ.get("OC_TPU_MAX_GROUPS_PER_DISPATCH")
+    Gp = free.shape[0]
+    chunk = int(chunk_env) if chunk_env else 0
+    if D == 1 and chunk > 0 and Gp > chunk:
+        chunk = 1 << (chunk.bit_length() - 1)  # round down to power of 2
+        parts = []
+        for i in range(0, Gp, chunk):
+            sl = lambda t: jax.tree.map(lambda x: x[i : i + chunk], t)
+            parts.append(
+                _solve_batch(
+                    sl(params), sl(blocks), free[i : i + chunk],
+                    surface_free[i : i + chunk], batch.layout, pre_solve,
+                    max_iterations,
+                    None if lam0 is None else lam0[i : i + chunk],
+                )
+            )
+        solved = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[p[0] for p in parts]
+        )
+        info = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[p[1] for p in parts]
+        )
+    else:
+        solved, info = _solve_batch(
+            params, blocks, free, surface_free, batch.layout, pre_solve,
+            max_iterations, lam0,
+        )
     if pad:
         solved = jax.tree.map(lambda x: x[:G], solved)
         info = jax.tree.map(lambda x: x[:G], info)

@@ -124,13 +124,18 @@ def render_views(tex, positions, quats, ground_extent=150.0,
     # intermediate ray buffer at once
     views = []
     chunk = 64
+    # upload the texture ONCE (a fresh jnp.asarray per chunk re-ships the
+    # 67 MB texture through the device tunnel every iteration) and pull
+    # one device_get per CHUNK (per-image np.asarray(out[i]) costs a
+    # tunnel round-trip each, ~35 min for the 10k survey)
+    texj = jnp.asarray(tex)
     for c0 in range(0, len(positions), chunk):
-        out = render_all(
-            jnp.asarray(tex),
+        out = np.asarray(render_all(
+            texj,
             jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
             jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
-        )
-        views.extend(np.asarray(out[i]) for i in range(out.shape[0]))
+        ))
+        views.extend(out[i] for i in range(out.shape[0]))
     return views
 
 

@@ -329,3 +329,31 @@ def test_single_device_serial_matches_batched(
     qb = np.asarray(s_one.quats)
     flip = np.sign(np.sum(qa * qb, axis=-1, keepdims=True))
     np.testing.assert_allclose(qb * flip, qa, atol=1e-6)
+
+
+def test_chunked_dispatch_matches_unchunked(monkeypatch):
+    """OC_TPU_MAX_GROUPS_PER_DISPATCH splits the single-chip batched solve
+    into several sequential dispatches (HBM relief at 10k-image scale);
+    results must be bit-compatible with the one-dispatch path."""
+    from opencalibration_tpu.parallel.group_solver import (
+        build_group_batch,
+        solve_group_batch,
+    )
+
+    builts, _ = _synthetic_builts(G=5)
+    dev = [jax.devices()[0]]
+    batch = build_group_batch(builts)
+    monkeypatch.delenv("OC_TPU_MAX_GROUPS_PER_DISPATCH", raising=False)
+    s_full, i_full = solve_group_batch(batch, pre_solve=False, devices=dev)
+    batch2 = build_group_batch(builts)
+    monkeypatch.setenv("OC_TPU_MAX_GROUPS_PER_DISPATCH", "2")
+    s_chunk, i_chunk = solve_group_batch(batch2, pre_solve=False, devices=dev)
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.quats), np.asarray(s_full.quats), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.focal), np.asarray(s_full.focal), atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i_chunk.iterations), np.asarray(i_full.iterations)
+    )
