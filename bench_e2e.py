@@ -79,15 +79,16 @@ def run_config(n_images: int, batch_size: int = 64,
     t0 = time.perf_counter()
     # run through FINAL_GLOBAL_RELAX; stop before the (disabled) ortho tail
     prev = None
-    for _ in range(100000):
+    for it in range(100000):
         cur = p.get_state()
         rc = p.state_run_count()
         t1 = time.perf_counter()
         state = p.iterate_once()
-        if cur != prev:
+        if cur != prev or (it and it % 10 == 0):
+            # cumulative counter table at every state boundary AND every
+            # 10 iterates so a crashed/killed at-scale run (10k) still
+            # leaves per-measure attribution data
             if prev is not None:
-                # cumulative counter table at every state boundary so a
-                # crashed/killed run still leaves attribution data
                 print(total_performance_summary(), file=sys.stderr, flush=True)
             prev = cur
         print(
