@@ -523,6 +523,11 @@ def extract_features(images, max_features: int = 4096, diffusion: str = "gaussia
     top_k_by_strength; a lower `threshold` + larger `max_features` yields
     the dense sets consumed by densification (dense_stereo.cpp:50-54).
     """
+    # accept uint8 batches: the host pipeline ships images to the device
+    # as uint8 (4x less host->HBM traffic) and normalizes here, inside
+    # the jitted program, where the convert fuses into the first blur
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     det = detect(images, max_features=max_features, diffusion=diffusion,
                  threshold=threshold)
     desc, angle = describe(images, det)
