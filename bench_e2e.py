@@ -142,9 +142,10 @@ def main():
     import os
 
     stop_after = os.environ.get("BENCH_E2E_STOP_AFTER") or None
+    batch_size = int(os.environ.get("BENCH_E2E_BATCH", "64"))
     sizes = [int(a) for a in sys.argv[1:]] or [100, 1000]
     for n in sizes:
-        result = run_config(n, stop_after=stop_after)
+        result = run_config(n, batch_size=batch_size, stop_after=stop_after)
         print(json.dumps(result), flush=True)
 
 

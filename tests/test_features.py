@@ -180,3 +180,27 @@ def test_external_detector_anchor():
     assert ours_matches >= max(orb_matches, 100), (
         f"ours {ours_matches} vs ORB {orb_matches}"
     )
+
+
+def test_uint8_batch_matches_float():
+    """uint8 device upload (4x less host->device traffic) must produce
+    IDENTICAL features to the float path: the on-device astype/255
+    normalization is the exact op the host used to apply."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    img8 = (rng.random((1, 96, 128)) * 255).astype(np.uint8)
+    imgf = img8.astype(np.float32) / 255.0
+    a = F.extract_features(jnp.asarray(img8), max_features=128)
+    b = F.extract_features(jnp.asarray(imgf), max_features=128)
+    np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["descriptors"]), np.asarray(b["descriptors"])
+    )
+    # XLA fuses the on-device /255 into the first blur (FMA), which can
+    # shift last-ulp rounding that subpixel refinement amplifies; bound
+    # the drift at a thousandth of a pixel instead of bit equality
+    np.testing.assert_allclose(
+        np.asarray(a["xy"]), np.asarray(b["xy"]), atol=1e-3
+    )
