@@ -74,7 +74,18 @@ def run_config(n_images: int, batch_size: int = 64,
     p = Pipeline(batch_size=batch_size, parallelism=16)
     p.generate_thumbnails = False
     p.skip_dense_mesh = True
-    p.add(paths)
+    # BENCH_E2E_CHECKPOINT=dir: save on every state transition and resume
+    # from the last completed state on relaunch — at-scale (10k) runs
+    # outlive tunnel failures and wall-clock caps this way. Wall/LM-rate
+    # numbers from a resumed run cover the resumed states only; note the
+    # resume in any recorded row.
+    ckpt = os.environ.get("BENCH_E2E_CHECKPOINT") or None
+    resumed = False
+    if ckpt and os.path.exists(os.path.join(ckpt, "metadata.json")):
+        resumed = p.load_checkpoint(ckpt)
+        print(f"resumed from {ckpt} at {p.get_state()}", file=sys.stderr)
+    if not resumed:
+        p.add(paths)
 
     t0 = time.perf_counter()
     # run through FINAL_GLOBAL_RELAX; stop before the (disabled) ortho tail
@@ -96,6 +107,10 @@ def run_config(n_images: int, batch_size: int = 64,
             f" ({time.perf_counter() - t1:.1f}s)",
             file=sys.stderr, flush=True,
         )
+        if ckpt and state != cur:
+            # save on the state transition itself (reference saves on
+            # transition too, pipeline_runner.cpp:317-325)
+            p.save_checkpoint(ckpt)
         if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
             break
         if stop_after is not None and cur == stop_after and state != cur:
