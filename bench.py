@@ -16,6 +16,7 @@ built and measured on this machine (BASELINE.md: reference publishes no
 absolute numbers).
 """
 
+import os
 import functools
 import json
 import sys
@@ -151,7 +152,39 @@ def time_platform(images, positions, pa, pb, repeats=3, rounds=1):
     return times[len(times) // 2]
 
 
+def _device_data_plane_ok(timeout_s: float = 90.0) -> bool:
+    """Probe the default device's DATA PLANE from a subprocess. A failing
+    remote-device relay can keep answering sub-KB control RPCs while bulk
+    transfers hang forever (observed: 64 KB device_put never returning);
+    a bench that trusts `jax.devices()` then hangs without recording
+    anything. The probe moves 1 MB with a hard timeout."""
+    import subprocess
+
+    code = (
+        "import numpy, jax;"
+        "jax.device_put(numpy.ones((262144,), numpy.float32))"
+        ".block_until_ready();print('ok')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    platform_note = None
+    if not _device_data_plane_ok():
+        # record an honest CPU number instead of hanging the driver
+        jax.config.update("jax_platforms", "cpu")
+        # XLA:CPU persistent-cache entries are machine-feature-stamped AOT
+        # artifacts (SIGILL risk on reload) — keep the cache TPU-only
+        os.environ["OC_TPU_COMPILE_CACHE"] = "0"
+        platform_note = "cpu fallback: device data plane unavailable"
+
     images, positions, pa, pb = build_workload()
 
     tpu_time = time_platform(images, positions, pa, pb, rounds=5)
@@ -172,6 +205,8 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
     }
+    if platform_note:
+        result["platform"] = platform_note
 
     # the OPERATIONAL metric alongside the fused-compute headline: the
     # same 24-image survey through the REAL Pipeline end-to-end (decode ->

@@ -31,7 +31,17 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
     # machine features; reloading them trips feature-mismatch errors (and
     # risks SIGILL) even on the same host. The win this cache targets is the
     # TPU tier-compile stall, so only enable it for accelerator platforms.
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu",):
+    plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if not plat:
+        # the platform may have been set by jax.config.update rather than
+        # the env var (bench.py's device-failure CPU fallback does this)
+        try:
+            import jax
+
+            plat = (jax.config.jax_platforms or "").strip().lower()
+        except Exception:
+            plat = ""
+    if plat.split(",")[0] == "cpu":
         return None
     if path is None:
         path = os.environ.get("OC_TPU_COMPILE_CACHE_DIR")
