@@ -15,6 +15,7 @@ the at-scale numbers recorded in BASELINE.md / BENCH_NOTES.md.
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -26,6 +27,64 @@ import numpy as np
 
 def run_config(n_images: int, batch_size: int = 64,
                stop_after: str | None = None) -> dict:
+    return _run_config_impl(n_images, batch_size, stop_after)
+
+
+# mid-IP checkpoint cadence (iterates); at batch_size=256 this is ~2k
+# images (~800 s of 10k-scale work) between saves
+_IP_CKPT_EVERY = int(os.environ.get("BENCH_E2E_IP_CKPT_EVERY", "8"))
+
+
+def _save_ip_sidecar(p, ckpt: str) -> None:
+    """Record the harness-side state the Pipeline checkpoint can't:
+    the unconsumed add-queue and the just-loaded (not yet linked) batch."""
+    import json as _json
+    import os
+
+    pending = []
+    for nid in p._prev_loaded_ids:
+        node = p.graph.get_node(nid)
+        if node is not None:
+            pending.append(node.payload.path)
+    tmp = os.path.join(ckpt, "ip_sidecar.json.tmp")
+    _json.dump(
+        dict(remaining=list(p._add_queue), pending=pending), open(tmp, "w")
+    )
+    os.replace(tmp, os.path.join(ckpt, "ip_sidecar.json"))
+
+
+def _resume_mid_ip(p, ckpt: str) -> None:
+    """Apply the sidecar: prune the loaded-but-unlinked batch's nodes
+    (their link/relax never ran) and re-queue their paths with the rest
+    of the unconsumed queue."""
+    import json as _json
+    import os
+
+    side_path = os.path.join(ckpt, "ip_sidecar.json")
+    if not os.path.exists(side_path):
+        return
+    side = _json.load(open(side_path))
+    pending = set(side.get("pending", []))
+    if pending:
+        drop = [
+            nid for nid, node in list(p.graph.nodes())
+            if node.payload.path in pending
+        ]
+        for nid in drop:
+            p.graph.remove_node(nid)
+            p.gps_positions.pop(nid, None)
+    readd = sorted(pending) + list(side.get("remaining", []))
+    if readd:
+        p.add(readd)
+        print(
+            f"  re-queued {len(pending)} in-flight + "
+            f"{len(side.get('remaining', []))} unconsumed images",
+            file=sys.stderr, flush=True,
+        )
+
+
+def _run_config_impl(n_images: int, batch_size: int,
+                     stop_after: str | None) -> dict:
     """stop_after: optionally end the run once the named state completes
     (e.g. 'MESH_REFINEMENT') — used for partial at-scale probes (10k)
     where the point is per-state attribution, not a full survey."""
@@ -84,7 +143,9 @@ def run_config(n_images: int, batch_size: int = 64,
     if ckpt and os.path.exists(os.path.join(ckpt, "metadata.json")):
         resumed = p.load_checkpoint(ckpt)
         print(f"resumed from {ckpt} at {p.get_state()}", file=sys.stderr)
-    if not resumed:
+    if resumed:
+        _resume_mid_ip(p, ckpt)
+    else:
         p.add(paths)
 
     t0 = time.perf_counter()
@@ -111,6 +172,28 @@ def run_config(n_images: int, batch_size: int = 64,
             # save on the state transition itself (reference saves on
             # transition too, pipeline_runner.cpp:317-325)
             p.save_checkpoint(ckpt)
+            _save_ip_sidecar(p, ckpt)
+        elif (
+            ckpt
+            and cur == "INITIAL_PROCESSING"
+            and it % _IP_CKPT_EVERY == _IP_CKPT_EVERY - 1
+        ):
+            # INITIAL_PROCESSING is one long state (~4.4 ks at 10k, far
+            # past any wall-clock cap) with no transitions to save on —
+            # checkpoint mid-state every few batches. The reference never
+            # needs this (its runs fit under one wall), so the in-flight
+            # batch bookkeeping lives here in the harness, not in the
+            # Pipeline: a sidecar records the unconsumed add-queue plus
+            # the just-loaded batch (loaded but not yet linked), and
+            # resume prunes that batch's nodes and re-queues their paths
+            # so link/relax re-run for them cleanly.
+            t_ck = time.perf_counter()
+            p.save_checkpoint(ckpt)
+            _save_ip_sidecar(p, ckpt)
+            print(
+                f"  [mid-IP checkpoint {time.perf_counter() - t_ck:.1f}s]",
+                file=sys.stderr, flush=True,
+            )
         if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
             break
         if stop_after is not None and cur == stop_after and state != cur:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -242,11 +243,167 @@ def _gn_grad(quads, blocks, perm, sorted_ids, T):
     return _scatter_sorted(parts, perm, sorted_ids, T)
 
 
-def _pcg(matvec, b, pre_diag, rtol, max_iters):
-    """Jacobi-preconditioned CG from x0 = 0. Returns (x, r_final)."""
+# ---------------------------------------------------------------------------
+# Block-Jacobi preconditioner (Ceres SCHUR_JACOBI analogue).
+#
+# Measured round 4 (BENCH_NOTES.md "CG preconditioner A/B"): on the
+# CG-routed workload (global ground-mesh relax, T=4608) block-Jacobi does
+# NOT reduce iteration counts vs scalar Jacobi (50 -> 50 at lam=1e-3,
+# 100-cap -> 100-cap at lam=1e-6) — the conditioning bottleneck is the
+# long-range camera<->mesh coupling, which no block-diagonal
+# preconditioner addresses (a multigrid/hierarchical scheme would).
+# Kept as a tested opt-in (OC_TPU_CG_PRECOND=block) for point-heavy
+# problem classes where SCHUR_JACOBI classically wins; the default stays
+# scalar Jacobi.
+# The block preconditioner inverts, once per LM iteration,
+#   * one 3x3 block per camera rotation,
+#   * one 3x3 block per 3d point,
+#   * one dense block over the whole intrinsics tail (8M slots),
+#   * scalar diagonal for mesh-z (its off-diagonal coupling is the weak
+#     smoothness prior),
+# exactly as assembled in H (duplicate-slot folding matches _gn_diag).
+# Build cost is one O(B*L^2) chunked segment-sum — about one extra matvec.
+# ---------------------------------------------------------------------------
+
+_BJ_CHUNK = 4096  # instances per [chunk, L, L] pair-segment buffer
+
+
+def _bj_pair_segments(s, layout, TT):
+    """Segment id [B, L, L] mapping slot pairs (l, m) into the block-
+    diagonal accumulator; off-block pairs map to segment S (dropped).
+    Segment space: [C*9 rot | P*9 points | TT*TT intrinsics tail]."""
+    C, P = layout.C, layout.P
+    S_rot, S_pt = 9 * C, 9 * P
+    S = S_rot + S_pt + TT * TT
+    rot = s < 3 * C
+    pt = (s >= layout.point_off) & (s < layout.focal_off)
+    tail = s >= layout.focal_off
+    bid = s // 3
+    pid = (s - layout.point_off) // 3
+    sub_r = s % 3
+    sub_p = (s - layout.point_off) % 3
+    t = s - layout.focal_off
+
+    def p2(a):  # pair-broadcast helpers over the trailing slot axis
+        return a[..., :, None], a[..., None, :]
+
+    rot_l, rot_m = p2(rot)
+    pt_l, pt_m = p2(pt)
+    tail_l, tail_m = p2(tail)
+    bid_l, bid_m = p2(bid)
+    pid_l, pid_m = p2(pid)
+    sr_l, sr_m = p2(sub_r)
+    sp_l, sp_m = p2(sub_p)
+    t_l, t_m = p2(t)
+
+    seg = jnp.full(s.shape[:-1] + (s.shape[-1], s.shape[-1]), S, jnp.int32)
+    seg = jnp.where(
+        rot_l & rot_m & (bid_l == bid_m), bid_l * 9 + sr_l * 3 + sr_m, seg
+    )
+    seg = jnp.where(
+        pt_l & pt_m & (pid_l == pid_m), S_rot + pid_l * 9 + sp_l * 3 + sp_m, seg
+    )
+    seg = jnp.where(tail_l & tail_m, S_rot + S_pt + t_l * TT + t_m, seg)
+    return seg
+
+
+def _bj_block_sums(quads, blocks, layout, TT):
+    """Accumulate the block-diagonal entries of H into a flat [S] vector
+    (chunked over instances to bound the [chunk, L, L] buffers)."""
+    C, P = layout.C, layout.P
+    S = 9 * C + 9 * P + TT * TT
+    dtype = quads[0][0].dtype
+    acc = jnp.zeros((S,), dtype)
+    for (JtJ, _), blk in zip(quads, blocks):
+        seg_all = _bj_pair_segments(blk.slots, layout, TT)  # [B, L, L]
+        B = JtJ.shape[0]
+        L = JtJ.shape[1]
+        chunk = _BJ_CHUNK
+
+        def chunk_sum(vals, seg):
+            return jax.ops.segment_sum(
+                vals.reshape(-1), seg.reshape(-1), num_segments=S + 1
+            )[:S]
+
+        if B <= chunk:
+            acc = acc + chunk_sum(JtJ, seg_all)
+            continue
+        pad = (-B) % chunk
+        if pad:
+            JtJ = jnp.concatenate([JtJ, jnp.zeros((pad, L, L), dtype)])
+            seg_all = jnp.concatenate(
+                [seg_all, jnp.full((pad, L, L), S, jnp.int32)]
+            )
+        n = (B + pad) // chunk
+        JtJc = JtJ.reshape(n, chunk, L, L)
+        segc = seg_all.reshape(n, chunk, L, L)
+
+        def add_chunk(carry, xs):
+            v, sg = xs
+            return carry + chunk_sum(v, sg), None
+
+        carry0 = chunk_sum(JtJc[0], segc[0])
+        fam, _ = jax.lax.scan(add_chunk, carry0, (JtJc[1:], segc[1:]))
+        acc = acc + fam
+    return acc
+
+
+def _bj_build(quads, blocks, layout, damp, diag):
+    """Build the factorized block-Jacobi preconditioner; returns an apply
+    callable z = M^-1 r. `damp` and `diag` are the [T] damping and exact
+    diag(H) already computed for the CG outer loop."""
+    C, V, P, M = layout.C, layout.V, layout.P, layout.M
+    TT = layout.dim - layout.focal_off  # whole intrinsics tail (8M slots)
+    sums = _bj_block_sums(quads, blocks, layout, TT)
+    dtype = sums.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def inv_blocks3(flat, d):  # [n*9] + damp [n, 3] -> [n, 3, 3] inverses
+        n = d.shape[0]
+        Bm = flat.reshape(n, 3, 3) + jax.vmap(jnp.diag)(d) + 1e-10 * eye3
+        return jnp.linalg.inv(Bm)
+
+    inv_rot = inv_blocks3(sums[: 9 * C], damp[: 3 * C].reshape(C, 3))
+    pre_mesh = jnp.clip(
+        (diag + damp)[layout.mesh_off : layout.point_off], 1e-20, 1e32
+    )
+    if P:
+        inv_pt = inv_blocks3(
+            sums[9 * C : 9 * C + 9 * P],
+            damp[layout.point_off : layout.focal_off].reshape(P, 3),
+        )
+    tail = sums[9 * C + 9 * P :].reshape(TT, TT)
+    tail = tail + jnp.diag(damp[layout.focal_off :]) + 1e-10 * jnp.eye(
+        TT, dtype=dtype
+    )
+    inv_tail = jnp.linalg.inv(tail)
+
+    def apply(r):
+        zr = jnp.einsum(
+            "cij,cj->ci", inv_rot, r[: 3 * C].reshape(C, 3)
+        ).reshape(-1)
+        zm = r[layout.mesh_off : layout.point_off] / pre_mesh
+        parts = [zr, zm]
+        if P:
+            parts.append(
+                jnp.einsum(
+                    "cij,cj->ci",
+                    inv_pt,
+                    r[layout.point_off : layout.focal_off].reshape(P, 3),
+                ).reshape(-1)
+            )
+        parts.append(inv_tail @ r[layout.focal_off :])
+        return jnp.concatenate(parts)
+
+    return apply
+
+
+def _pcg(matvec, b, pre_apply, rtol, max_iters):
+    """Preconditioned CG from x0 = 0 (pre_apply: r -> M^-1 r).
+    Returns (x, r_final)."""
     dtype = b.dtype
     tol2 = (rtol * rtol) * jnp.maximum(jnp.sum(b * b), 1e-38)
-    z0 = b / pre_diag
+    z0 = pre_apply(b)
     state0 = (
         jnp.zeros_like(b),  # x
         b,  # r
@@ -268,7 +425,7 @@ def _pcg(matvec, b, pre_diag, rtol, max_iters):
         alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-38), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = r / pre_diag
+        z = pre_apply(r)
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-38), 0.0)
         p = z + beta * p
@@ -309,6 +466,9 @@ class SolveInfo:
 CG_DIM_THRESHOLD = 1024
 CG_RTOL = 1e-2  # forcing tolerance (Ceres ITERATIVE_SCHUR eta default 0.1)
 CG_MAX_ITERS = 100
+# 'jacobi' (scalar, default — see the block-Jacobi note above for the
+# measured A/B) or 'block' (SCHUR_JACOBI-style _bj_build)
+CG_PRECOND = os.environ.get("OC_TPU_CG_PRECOND", "jacobi")
 
 
 @functools.partial(
@@ -316,6 +476,7 @@ CG_MAX_ITERS = 100
     static_argnames=(
         "layout", "max_iterations",
         "parameter_tolerance", "function_tolerance", "linear_solver",
+        "cg_precond",
     ),
 )
 def solve(
@@ -328,6 +489,7 @@ def solve(
     parameter_tolerance: float = 1e-8,
     function_tolerance: float = 1e-6,
     linear_solver: str = "auto",
+    cg_precond: str | None = None,
 ):
     """Run LM to convergence (data-dependent iteration count via
     lax.while_loop). Jitted: compilations are cached per (layout, block
@@ -342,16 +504,22 @@ def solve(
         linear_solver = (
             "cg" if layout.dim >= CG_DIM_THRESHOLD else "cholesky"
         )
+    # NOTE: cg_precond=None callers inherit the env default at first-trace
+    # time (cache-keyed on None); pass it explicitly to override per-call.
+    if cg_precond is None:
+        cg_precond = CG_PRECOND
     with jax.default_matmul_precision("float32"):
         return _solve_impl(
             params, blocks, layout, free_mask, max_iterations, init_lambda,
             parameter_tolerance, function_tolerance, linear_solver,
+            cg_precond,
         )
 
 
 def _solve_impl(
     params, blocks, layout, free_mask, max_iterations, init_lambda,
     parameter_tolerance, function_tolerance, linear_solver="cholesky",
+    cg_precond="jacobi",
 ):
     # NOTE on TPU numerics: the caller wraps this trace in
     # default_matmul_precision("float32") — TPU matmuls/einsums otherwise
@@ -393,9 +561,12 @@ def _solve_impl(
                     + damp * v
                 )
 
-            delta, r_cg = _pcg(
-                matvec, -g, diag + damp, CG_RTOL, CG_MAX_ITERS
-            )
+            if cg_precond == "block":
+                pre_apply = _bj_build(quads, blocks, layout, damp, diag)
+            else:
+                pre_diag = diag + damp
+                pre_apply = lambda r: r / pre_diag  # noqa: E731
+            delta, r_cg = _pcg(matvec, -g, pre_apply, CG_RTOL, CG_MAX_ITERS)
             delta = jnp.where(free, delta, 0.0)
             # inexact step: model decrease from the CG residual
             # (A delta = -g - r  =>  pred = 0.5 (delta.r - delta.g))

@@ -111,12 +111,114 @@ def test_matrixfree_operator_matches_dense_assembly():
         )
 
 
+def test_block_jacobi_preconditioner_matches_dense_blocks():
+    """_bj_build's apply == blockwise inverse of the block-diagonal of
+    (H + diag(damp)): 3x3 per camera rotation, scalar mesh-z, one dense
+    intrinsics-tail block — the SCHUR_JACOBI-style preconditioner is
+    exactly the block diagonal of the assembled system."""
+    _, params, blocks, layout, free, _ = _mesh_problem()
+    free = jnp.asarray(free)
+    T = layout.dim
+    H, _ = lm.normal_equations(params, blocks, layout, free)
+    quads = lm._quads_all(params, blocks, free)
+    lam = 1e-3
+    diag = jnp.clip(jnp.diag(H), 1e-10, 1e32)
+    damp = lam * diag + (~free).astype(H.dtype)
+    pre = lm._bj_build(quads, blocks, layout, damp, diag)
+
+    A = np.asarray(H, np.float64) + np.diag(np.asarray(damp, np.float64))
+    Minv = np.zeros_like(A)
+    for c in range(layout.C):
+        sl = slice(3 * c, 3 * c + 3)
+        Minv[sl, sl] = np.linalg.inv(A[sl, sl] + 1e-10 * np.eye(3))
+    for v in range(layout.V):
+        i = layout.mesh_off + v
+        Minv[i, i] = 1.0 / np.clip(A[i, i], 1e-20, None)
+    tl = slice(layout.focal_off, T)
+    Minv[tl, tl] = np.linalg.inv(
+        A[tl, tl] + 1e-10 * np.eye(T - layout.focal_off)
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        r = jnp.asarray(rng.normal(size=T), H.dtype)
+        z = np.asarray(pre(r), np.float64)
+        want = Minv @ np.asarray(r, np.float64)
+        np.testing.assert_allclose(
+            z, want, rtol=2e-3, atol=1e-5 * np.abs(want).max()
+        )
+
+
+def test_block_jacobi_covers_point_slots():
+    """The P > 0 branch: per-point 3x3 blocks invert correctly in a
+    points-problem layout (reference solves these with SPARSE_SCHUR,
+    relax_problem.cpp:122-145 — the block-diagonal point structure is
+    exactly what the preconditioner exploits)."""
+    layout = TangentLayout(2, 0, 4, 1)
+    rng = np.random.default_rng(3)
+    params = RelaxParams.create(
+        jnp.asarray(
+            np.tile([0.0, 1.0, 0.0, 0.0], (2, 1)), jnp.float32
+        ),
+        jnp.asarray(rng.normal(size=(2, 3)), jnp.float32),
+        points=jnp.asarray(rng.normal(size=(4, 3)) * 5.0, jnp.float32),
+        focal=jnp.asarray([600.0]),
+        principal=jnp.asarray([[400.0, 300.0]]),
+    )
+    NB = 8
+    blk = B.pixel_error_block(
+        layout,
+        cam_i=jnp.asarray(rng.integers(0, 2, NB), jnp.int32),
+        point_i=jnp.asarray(rng.integers(0, 4, NB), jnp.int32),
+        model_i=jnp.zeros(NB, jnp.int32),
+        pixel=jnp.asarray(rng.normal(size=(NB, 2)) * 50.0 + 300.0, jnp.float32),
+        weight=jnp.ones(NB, jnp.float32),
+    )
+    blocks = (blk,)
+    free = jnp.asarray(layout.build_free_mask(points_free=True))
+    T = layout.dim
+    H, _ = lm.normal_equations(params, blocks, layout, free)
+    quads = lm._quads_all(params, blocks, free)
+    diag = jnp.clip(jnp.diag(H), 1e-10, 1e32)
+    damp = 1e-2 * diag + (~free).astype(H.dtype)
+    pre = lm._bj_build(quads, blocks, layout, damp, diag)
+
+    A = np.asarray(H, np.float64) + np.diag(np.asarray(damp, np.float64))
+    r = jnp.asarray(np.arange(T, dtype=np.float32) % 5 - 2.0)
+    z = np.asarray(pre(r), np.float64)
+    for p in range(4):
+        sl = slice(layout.point_off + 3 * p, layout.point_off + 3 * p + 3)
+        want = np.linalg.solve(
+            A[sl, sl] + 1e-10 * np.eye(3), np.asarray(r, np.float64)[sl]
+        )
+        np.testing.assert_allclose(
+            z[sl], want, rtol=2e-3, atol=1e-6 * max(np.abs(want).max(), 1.0)
+        )
+
+
 def test_cg_recovers_ground_mesh_like_cholesky():
     ground_ori, params, blocks, layout, free, surf_only = _mesh_problem()
     params, _ = lm.solve(
         params, blocks, layout, surf_only, linear_solver="cg"
     )
     solved, info = lm.solve(params, blocks, layout, free, linear_solver="cg")
+    errs = ori_errors(solved.quats, ground_ori)
+    assert errs.max() < 5e-3, errs
+    np.testing.assert_allclose(np.asarray(solved.mesh_z), -10.0, atol=0.8)
+
+
+def test_cg_block_precond_optin_solves():
+    """cg_precond='block' (OC_TPU_CG_PRECOND=block) reaches the same
+    optimum as the default scalar-Jacobi CG (same operator, different
+    preconditioner)."""
+    ground_ori, params, blocks, layout, free, surf_only = _mesh_problem()
+    params, _ = lm.solve(
+        params, blocks, layout, surf_only, linear_solver="cg",
+        cg_precond="block",
+    )
+    solved, _ = lm.solve(
+        params, blocks, layout, free, linear_solver="cg",
+        cg_precond="block",
+    )
     errs = ori_errors(solved.quats, ground_ori)
     assert errs.max() < 5e-3, errs
     np.testing.assert_allclose(np.asarray(solved.mesh_z), -10.0, atol=0.8)
