@@ -37,7 +37,7 @@ def parse_args(argv=None):
     p.add_argument("-o", "--geotiff-file", default=None, help="Output orthomosaic GeoTIFF")
     p.add_argument("--dsm-file", default=None, help="Output DSM GeoTIFF")
     p.add_argument("--camera-id-file", default=None,
-                   help="Output camera-id sidecar GeoTIFF (uint64 node ids as 2x uint32 bands)")
+                   help="Output camera-id sidecar GeoTIFF (one uint64 band of node ids)")
     p.add_argument("-x", "--textured-mesh-file", default=None, help="Output textured OBJ")
     p.add_argument("-t", "--thumbnail-file", default=None, help="Output thumbnail image")
 

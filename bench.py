@@ -175,6 +175,66 @@ def _device_data_plane_ok(timeout_s: float = 90.0) -> bool:
         return False
 
 
+_E2E_KEYS = (
+    "n_images", "wall_s", "images_per_sec_e2e", "lm_iterations",
+    "median_pose_err_m", "final_state", "focal_err_px",
+)
+
+
+def _e2e_leg():
+    """One pass of the 24-image survey through the REAL Pipeline end-to-
+    end (decode -> extract -> link -> spectral-group relax -> mesh
+    refinement -> camera-parameter relax -> final relax -> orthomosaic
+    rasterize + color balance + blend) — BASELINE config 4's full scope
+    at bench scale."""
+    import tempfile
+
+    from bench_e2e import run_config
+
+    with tempfile.TemporaryDirectory() as td:
+        os.environ["BENCH_E2E_ORTHO"] = td
+        try:
+            e2e = run_config(N_IMAGES, batch_size=N_IMAGES)
+        finally:
+            os.environ.pop("BENCH_E2E_ORTHO", None)
+    return {k: e2e[k] for k in _E2E_KEYS if k in e2e}
+
+
+def _cpu_node_e2e(timeout_s: float = 1500.0):
+    """The single-CPU-node proxy baseline, measured: the identical e2e
+    workload on the host CPU (this machine exposes exactly ONE core —
+    nproc=1 — so the 1-core run IS the full-node run here; the C++
+    reference saturates a node via OMP, pipeline.cpp:42-49, which cannot
+    be emulated beyond the cores this host has)."""
+    import subprocess
+
+    import tempfile
+
+    code = (
+        "import os, sys, json; sys.path.insert(0, '.');"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "os.environ['OC_TPU_COMPILE_CACHE'] = '0';"
+        "from bench_e2e import run_config;"
+        f"e2e = run_config({N_IMAGES}, batch_size={N_IMAGES});"
+        "print('CPUE2E ' + json.dumps(e2e))"
+    )
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            # identical work to the TPU legs (orthomosaic included)
+            env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_E2E_ORTHO=td)
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True, env=env,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("CPUE2E "):
+                    e2e = json.loads(line[len("CPUE2E "):])
+                    return {k: e2e[k] for k in _E2E_KEYS if k in e2e}
+    except Exception:
+        pass
+    return None
+
+
 def main():
     platform_note = None
     if not _device_data_plane_ok():
@@ -199,32 +259,44 @@ def main():
     except Exception:
         pass
 
+    # THE HEADLINE is the operational metric (BASELINE.md: images/sec
+    # end-to-end through the real pipeline, orthomosaic included), as a
+    # cold/warm pair: cold pays every trace+compile inside the window,
+    # warm is the steady state an operator sees on any run after the
+    # first. vs_baseline = warm TPU e2e over the measured single-CPU-node
+    # e2e (this host's node = 1 core; see _cpu_node_e2e).
+    e2e_cold = e2e_warm = cpu_e2e = None
+    try:
+        e2e_cold = _e2e_leg()
+        e2e_warm = _e2e_leg()
+    except Exception as exc:  # never lose the output to the e2e leg
+        e2e_cold = e2e_cold or {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    if os.environ.get("BENCH_SKIP_CPU_E2E", "") != "1":
+        cpu_e2e = _cpu_node_e2e()
+
+    warm_ips = (e2e_warm or {}).get("images_per_sec_e2e")
+    cpu_node_ips = (cpu_e2e or {}).get("images_per_sec_e2e")
     result = {
-        "metric": "images/sec calibration compute (extract+match+ransac+relax), 24-image synthetic survey",
-        "value": round(tpu_ips, 3),
+        "metric": (
+            "images/sec end-to-end (24-image survey incl. orthomosaic, warm)"
+            if warm_ips else
+            "images/sec calibration compute (fused jit; e2e leg failed)"
+        ),
+        "value": warm_ips if warm_ips else round(tpu_ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
+        "vs_baseline": (
+            round(warm_ips / cpu_node_ips, 2)
+            if warm_ips and cpu_node_ips else None
+        ),
+        "e2e": {"cold": e2e_cold, "warm": e2e_warm, "cpu_node_1core": cpu_e2e},
+        "compute_kernel": {
+            "metric": "images/sec calibration compute (fused extract+match+ransac+relax jit)",
+            "tpu_ips": round(tpu_ips, 3),
+            "vs_cpu": round(tpu_ips / cpu_ips, 2) if cpu_ips else None,
+        },
     }
     if platform_note:
         result["platform"] = platform_note
-
-    # the OPERATIONAL metric alongside the fused-compute headline: the
-    # same 24-image survey through the REAL Pipeline end-to-end (decode ->
-    # extract -> link -> spectral-group relax -> mesh refinement ->
-    # camera-parameter relax -> final relax), what BASELINE.md optimizes
-    try:
-        from bench_e2e import run_config
-
-        e2e = run_config(N_IMAGES, batch_size=N_IMAGES)
-        result["e2e"] = {
-            k: e2e[k]
-            for k in (
-                "n_images", "wall_s", "images_per_sec_e2e",
-                "lm_iterations", "median_pose_err_m", "final_state",
-            )
-        }
-    except Exception as exc:  # never lose the headline to the e2e leg
-        result["e2e"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     print(json.dumps(result))
 
 

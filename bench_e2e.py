@@ -35,49 +35,99 @@ def run_config(n_images: int, batch_size: int = 64,
 _IP_CKPT_EVERY = int(os.environ.get("BENCH_E2E_IP_CKPT_EVERY", "8"))
 
 
+def _paths_of(p, ids) -> list:
+    out = []
+    for nid in ids:
+        node = p.graph.get_node(nid)
+        if node is not None:
+            out.append(node.payload.path)
+    return out
+
+
 def _save_ip_sidecar(p, ckpt: str) -> None:
     """Record the harness-side state the Pipeline checkpoint can't:
-    the unconsumed add-queue and the just-loaded (not yet linked) batch."""
+    the unconsumed add-queue, the just-loaded (not yet linked) batch, and
+    the just-linked (not yet relax-anchored) batch.
+
+    The sidecar is stamped with a graph fingerprint (node/edge counts) so
+    a kill between save_checkpoint and this write — which leaves a newer
+    graph.json paired with a stale sidecar — is detected on resume and
+    the stale sidecar ignored (mid-IP batches grow the node count
+    monotonically, so a stale pairing always mismatches)."""
     import json as _json
     import os
 
-    pending = []
-    for nid in p._prev_loaded_ids:
-        node = p.graph.get_node(nid)
-        if node is not None:
-            pending.append(node.payload.path)
     tmp = os.path.join(ckpt, "ip_sidecar.json.tmp")
-    _json.dump(
-        dict(remaining=list(p._add_queue), pending=pending), open(tmp, "w")
-    )
+    with open(tmp, "w") as f:
+        _json.dump(
+            dict(
+                remaining=list(p._add_queue),
+                pending=_paths_of(p, p._prev_loaded_ids),
+                linked=_paths_of(p, p._prev_linked_ids),
+                graph_nodes=p.graph.size_nodes(),
+                graph_edges=p.graph.size_edges(),
+                state=p.get_state(),
+            ),
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(ckpt, "ip_sidecar.json"))
 
 
 def _resume_mid_ip(p, ckpt: str) -> None:
-    """Apply the sidecar: prune the loaded-but-unlinked batch's nodes
-    (their link/relax never ran) and re-queue their paths with the rest
-    of the unconsumed queue."""
+    """Apply the sidecar: prune the in-flight batches' nodes — both the
+    loaded-but-unlinked batch (its link/relax never ran) AND the
+    linked-but-unrelaxed batch (its incremental anchoring relax never
+    ran, stages.py depth-2-halo path) — and re-queue their paths ahead of
+    the unconsumed queue, so the resumed run is equivalent to rolling
+    back to the last fully-processed batch."""
     import json as _json
     import os
 
     side_path = os.path.join(ckpt, "ip_sidecar.json")
     if not os.path.exists(side_path):
         return
-    side = _json.load(open(side_path))
-    pending = set(side.get("pending", []))
-    if pending:
+    try:
+        with open(side_path) as f:
+            side = _json.load(f)
+    except (OSError, json.JSONDecodeError):
+        # partially written sidecar (hard kill mid-write): resume from the
+        # checkpoint alone rather than crashing every subsequent attempt
+        print("  sidecar unreadable; resuming without it", file=sys.stderr)
+        return
+    if (
+        side.get("graph_nodes") is not None
+        and (
+            side["graph_nodes"] != p.graph.size_nodes()
+            or side.get("graph_edges") != p.graph.size_edges()
+            or side.get("state") not in (None, p.get_state())
+        )
+    ):
+        print(
+            "  sidecar fingerprint mismatch (stale pairing); ignoring it",
+            file=sys.stderr,
+        )
+        return
+    requeue = set(side.get("pending", [])) | set(side.get("linked", []))
+    if requeue:
         drop = [
             nid for nid, node in list(p.graph.nodes())
-            if node.payload.path in pending
+            if node.payload.path in requeue
         ]
         for nid in drop:
             p.graph.remove_node(nid)
             p.gps_positions.pop(nid, None)
-    readd = sorted(pending) + list(side.get("remaining", []))
+    in_graph = {node.payload.path for _, node in p.graph.nodes()}
+    readd = [
+        path
+        for path in sorted(requeue) + list(side.get("remaining", []))
+        if path not in in_graph
+    ]
     if readd:
         p.add(readd)
         print(
-            f"  re-queued {len(pending)} in-flight + "
+            f"  re-queued {len(requeue)} in-flight + "
             f"{len(side.get('remaining', []))} unconsumed images",
             file=sys.stderr, flush=True,
         )
@@ -133,6 +183,19 @@ def _run_config_impl(n_images: int, batch_size: int,
     p = Pipeline(batch_size=batch_size, parallelism=16)
     p.generate_thumbnails = False
     p.skip_dense_mesh = True
+    # BENCH_E2E_ORTHO=dir: run BASELINE config 4's full scope — after the
+    # calibration states, drive GENERATE_LAYERS -> COLOR_BALANCE ->
+    # BLEND_LAYERS and write the orthomosaic + DSM GeoTIFFs there
+    # (reference src/ortho/ortho.cpp two-pass rasterize/blend)
+    ortho_dir = os.environ.get("BENCH_E2E_ORTHO") or None
+    if ortho_dir:
+        os.makedirs(ortho_dir, exist_ok=True)
+        p.ortho_path = os.path.join(ortho_dir, "ortho.tif")
+        p.dsm_path = os.path.join(ortho_dir, "dsm.tif")
+        p.camera_id_path = os.path.join(ortho_dir, "camera_ids.tif")
+        p.ortho_max_megapixels = float(
+            os.environ.get("BENCH_E2E_ORTHO_MP", "64")
+        )
     # BENCH_E2E_CHECKPOINT=dir: save on every state transition and resume
     # from the last completed state on relaunch — at-scale (10k) runs
     # outlive tunnel failures and wall-clock caps this way. Wall/LM-rate
@@ -149,7 +212,8 @@ def _run_config_impl(n_images: int, batch_size: int,
         p.add(paths)
 
     t0 = time.perf_counter()
-    # run through FINAL_GLOBAL_RELAX; stop before the (disabled) ortho tail
+    # run the full state machine to COMPLETE (the ortho states no-op
+    # unless BENCH_E2E_ORTHO requested outputs)
     prev = None
     for it in range(100000):
         cur = p.get_state()
@@ -194,7 +258,7 @@ def _run_config_impl(n_images: int, batch_size: int,
                 f"  [mid-IP checkpoint {time.perf_counter() - t_ck:.1f}s]",
                 file=sys.stderr, flush=True,
             )
-        if state in ("GENERATE_THUMBNAIL", "COMPLETE"):
+        if state == "COMPLETE":
             break
         if stop_after is not None and cur == stop_after and state != cur:
             break
@@ -222,7 +286,7 @@ def _run_config_impl(n_images: int, batch_size: int,
         (rec - rec.mean(0)) - (gt - gt.mean(0)), axis=1
     ).tolist()
     print(total_performance_summary(), file=sys.stderr)
-    return dict(
+    result = dict(
         n_images=n,
         survey_gen_s=round(gen_s, 2),
         wall_s=round(wall, 2),
@@ -233,6 +297,36 @@ def _run_config_impl(n_images: int, batch_size: int,
         n_edges=p.graph.size_edges(),
         median_pose_err_m=round(float(np.median(errs)), 3) if errs else None,
         final_state=p.get_state(),
+    )
+    result.update(_intrinsics_errors(p))
+    if ortho_dir:
+        result["ortho_artifacts"] = {
+            os.path.basename(f): os.path.getsize(os.path.join(ortho_dir, f))
+            for f in sorted(os.listdir(ortho_dir))
+        }
+    return result
+
+
+def _intrinsics_errors(p) -> dict:
+    """Recovered-intrinsics error vs the synthetic render truth
+    (BASELINE intrinsics-parity contract; the reference copies optimized
+    models back per src/relax/relax_problem.cpp:1416-1419). The synthetic
+    renderer is a distortion-free pinhole at FOCAL px with the principal
+    point at the image centre, so truth is (FOCAL, centre, zeros)."""
+    from tests.synthetic_survey import FOCAL, IMG_H, IMG_W
+
+    fe, pe, re_ = [], [], []
+    for m in p.model_store.values():
+        fe.append(abs(float(np.asarray(m.focal_length_pixels)) - FOCAL))
+        pp = np.asarray(m.principal_point, float).reshape(-1)[:2]
+        pe.append(float(np.linalg.norm(pp - [IMG_W / 2, IMG_H / 2])))
+        re_.append(float(np.linalg.norm(np.asarray(m.radial_distortion))))
+    if not fe:
+        return {}
+    return dict(
+        focal_err_px=round(float(np.median(fe)), 3),
+        principal_err_px=round(float(np.median(pe)), 3),
+        radial_err_norm=round(float(np.median(re_)), 5),
     )
 
 

@@ -397,6 +397,11 @@ class GeoTiffTileWriter:
         elif self.dtype == np.uint32:
             self.dtype = np.dtype("<u4")
             self._bits, self._sample_format = 32, 1
+        elif self.dtype == np.uint64:
+            # one uint64 band: the reference's camera-id raster is uint64
+            # camera ids round-tripped whole (test_ortho_functional)
+            self.dtype = np.dtype("<u8")
+            self._bits, self._sample_format = 64, 1
         else:
             raise ValueError(f"unsupported dtype {dtype}")
         self.tile_size = tile_size
@@ -625,6 +630,8 @@ def read_geotiff(path: str):
 
     if T_SAMPLE_FORMAT in tags and sf == 1 and bits == 32:
         dtype = np.dtype("<u4")
+    if sf == 1 and bits == 64:
+        dtype = np.dtype("<u8")
 
     def _decode(off, cnt):
         raw = data[off : off + cnt]

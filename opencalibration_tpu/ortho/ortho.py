@@ -282,6 +282,36 @@ def _sample_cameras_kernel(
     return colors, weights, geom
 
 
+@functools.partial(jax.jit, static_argnames=("taps", "kmax"))
+def _sample_select_kernel(
+    points, cam_quats, cam_pos, models, images, img_hw, img_scale,
+    cam_valid, avg_elevation, gsd, taps: int = 1, kmax: int = 5,
+):
+    """Sample + per-pixel top-kmax layer selection fused on device.
+
+    `images` is the [K, Hmax, Wmax, C] float16 stack assembled from the
+    device-resident image cache — the pixels never leave the device
+    between upload and sampling, and only the selected kmax layers
+    (float16) are pulled by the caller, so per-tile host<->device traffic
+    is O(kmax * tile_pixels) instead of O(K * image_pixels). The top-k
+    itself matches the reference's per-pixel closest-5 selection
+    (reference ortho.cpp:1206-1300)."""
+    colors, weights, geom = _sample_cameras_kernel(
+        points, cam_quats, cam_pos, models, images, img_hw, img_scale,
+        cam_valid, avg_elevation, gsd, taps=taps,
+    )
+    wT, selT = jax.lax.top_k(weights.T, kmax)  # [P, kmax]
+    sel = selT.T.astype(jnp.int32)  # [kmax, P]
+    lcolors = jnp.take_along_axis(colors, sel[..., None], axis=0)
+    lgeom = jnp.take_along_axis(geom, sel[..., None], axis=0)
+    return (
+        lcolors.astype(jnp.float16),
+        wT.T.astype(jnp.float16),
+        lgeom.astype(jnp.float16),
+        sel,
+    )
+
+
 @jax.jit
 def _corner_world_rays(corner_px, quats, models):
     """[N, 4, 2] image-corner pixels -> [N, 4, 3] world ray directions."""
@@ -717,6 +747,21 @@ class OrthoJob:
             tile_cams, tiles_x, tiles_y, cache_images
         )
         self._cache = FullResolutionImageCache(max_images=max(cache_images, self._kc))
+        # device-resident image cache: each full-res Lab image is uploaded
+        # ONCE as float16 (lossless for uint8-sourced Lab) and stacked
+        # on-device per tile — without it every tile re-ships its whole
+        # candidate stack host->device (measured: the GENERATE_LAYERS wall)
+        import collections
+
+        self._dev_cache = collections.OrderedDict()  # cam idx -> (dev, (h, w))
+        self._dev_cache_max = max(2 * self._kc, cache_images, 8)
+        hm = wm = 0
+        for n in nodes:
+            m = model_store.get(graph.get_node(n).payload.model_id)
+            if m is not None:
+                hm = max(hm, int(np.asarray(m.pixels_rows)))
+                wm = max(wm, int(np.asarray(m.pixels_cols)))
+        self._img_hm, self._img_wm = hm, wm
         self._quats_all = quats_all
         self._poss_all = poss_all
         self._nodes = nodes
@@ -788,6 +833,29 @@ class OrthoJob:
             return None
         return cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
 
+    def _device_image(self, idx):
+        """Device-resident float16 Lab image, padded to the job-global
+        (Hmax, Wmax); returns (device_array, (h, w)) or None. LRU-bounded
+        so HBM use stays ~dev_cache_max * image bytes."""
+        ent = self._dev_cache.get(idx)
+        if ent is not None:
+            self._dev_cache.move_to_end(idx)
+            return ent
+        lab = self._load_lab(idx)
+        if lab is None:
+            return None
+        h, w = lab.shape[:2]
+        if self._img_hm <= 0 or self._img_wm <= 0:
+            self._img_hm, self._img_wm = h, w
+        hm, wm = self._img_hm, self._img_wm
+        buf = np.zeros((hm, wm, 3), np.float16)
+        buf[: min(h, hm), : min(w, wm)] = lab[:hm, :wm]
+        ent = (jax.device_put(buf), (min(h, hm), min(w, wm)))
+        self._dev_cache[idx] = ent
+        while len(self._dev_cache) > self._dev_cache_max:
+            self._dev_cache.popitem(last=False)
+        return ent
+
     def _tile_paths(self, idx: int) -> List[str]:
         return [
             self.graph.get_node(self._nodes[ci]).payload.path
@@ -815,28 +883,26 @@ class OrthoJob:
         )
 
         cams = sorted(self._tile_cams[ty * self._tiles_x + tx])
-        imgs, hws, idxs = [], [], []
+        devs, hws, idxs = [], [], []
         for ci in cams:
-            lab = self._load_lab(ci)
-            if lab is None:
+            ent = self._device_image(ci)
+            if ent is None:
                 continue
-            imgs.append(lab)
-            hws.append(lab.shape[:2])
+            devs.append(ent[0])
+            hws.append(ent[1])
             idxs.append(ci)
-        if not imgs:
+        if not devs:
             return None
         # pad the candidate set to the fixed KC so the kernel compiles once
         kc = self._kc
-        while len(imgs) < kc:
-            imgs.append(np.zeros_like(imgs[0]))
+        while len(devs) < kc:
+            devs.append(devs[0])
             hws.append((0, 0))
             idxs.append(idxs[0])
         valid_mask = np.asarray([h[0] > 0 for h in hws], bool)
-        Hm = max(i.shape[0] for i in imgs)
-        Wm = max(i.shape[1] for i in imgs)
-        stack = np.zeros((kc, Hm, Wm, 3), np.float32)
-        for i, im in enumerate(imgs):
-            stack[i, : im.shape[0], : im.shape[1]] = im
+        # device-side stack of the cached images: no pixel re-upload,
+        # fixed (Hmax, Wmax) shape so ONE kernel compile serves every tile
+        stack = jnp.stack(devs)
         models = stack_cameras(
             [
                 model_store[graph.get_node(nodes[i]).payload.model_id].astype(jnp.float32)
@@ -851,34 +917,29 @@ class OrthoJob:
             ],
             np.float32,
         )
-        colors, weights, geom = _sample_cameras_kernel(
-            jnp.asarray(points, jnp.float32),
-            jnp.asarray(self._quats_all[idxs], jnp.float32),
-            jnp.asarray(self._poss_all[idxs], jnp.float32),
-            models,
-            jnp.asarray(stack),
-            jnp.asarray(np.asarray(hws, np.int32)),
-            jnp.asarray(scales),
-            jnp.asarray(valid_mask),
-            jnp.asarray(self._ctx.average_camera_elevation, jnp.float32),
-            jnp.asarray(gsd, jnp.float32),
-            taps=self.taps,
-        )
-        colors = np.asarray(colors)  # [KC, P, 3]
-        weights = np.asarray(weights) * valid_z[None]  # [KC, P]
-        geom = np.asarray(geom)  # [KC, P, 4]
-
-        # per-PIXEL top-KMAX camera selection from the full candidate set
         kmax = min(MAX_CAMERAS_PER_PIXEL, kc)
-        sel = np.argsort(-weights, axis=0)[:kmax]  # [KMAX, P]
-        lcolors = np.take_along_axis(colors, sel[..., None], axis=0)
-        lweights = np.take_along_axis(weights, sel, axis=0)
-        lgeom = np.take_along_axis(geom, sel[..., None], axis=0)
+        lcolors, lweights, lgeom, sel = jax.device_get(
+            _sample_select_kernel(
+                jnp.asarray(points, jnp.float32),
+                jnp.asarray(self._quats_all[idxs], jnp.float32),
+                jnp.asarray(self._poss_all[idxs], jnp.float32),
+                models,
+                stack,
+                jnp.asarray(np.asarray(hws, np.int32)),
+                jnp.asarray(scales),
+                jnp.asarray(valid_mask),
+                jnp.asarray(self._ctx.average_camera_elevation, jnp.float32),
+                jnp.asarray(gsd, jnp.float32),
+                taps=self.taps,
+                kmax=kmax,
+            )
+        )
+        lweights = lweights * valid_z[None].astype(np.float16)
         lcam = np.asarray(idxs, np.int32)[sel]  # node-list index per sample
         return dict(
-            colors=lcolors.astype(np.float16),
-            weights=lweights.astype(np.float16),
-            geom=lgeom.astype(np.float16),
+            colors=lcolors,
+            weights=lweights,
+            geom=lgeom,
             cam=lcam,
             z=np.where(valid_z, z, np.nan).astype(np.float32),
         )
@@ -888,6 +949,8 @@ class OrthoJob:
         collect Lab correspondences with real radiometric geometry."""
         if not self.ok:
             return False
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
         self.correspondences = []
         import concurrent.futures
 
@@ -900,11 +963,14 @@ class OrthoJob:
                         self._tile_paths(ny_ * self._tiles_x + nx_), pool=pool
                     )
                 idx = ty * self._tiles_x + tx
-                layers = self._project_tile(tx, ty)
+                with PerformanceMeasure("ortho: project tile"):
+                    layers = self._project_tile(tx, ty)
                 if layers is None:
                     continue
-                self._store_tile(idx, layers)
-                self._collect_correspondences(layers)
+                with PerformanceMeasure("ortho: store tile"):
+                    self._store_tile(idx, layers)
+                with PerformanceMeasure("ortho: correspondences"):
+                    self._collect_correspondences(layers)
         finally:
             pool.shutdown(wait=False)
         return True
@@ -945,11 +1011,14 @@ class OrthoJob:
         """COLOR_BALANCE: solve radiometric parameters."""
         if not self.ok:
             return False
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
         cam_positions = {
             nid: np.asarray(self.graph.get_node(nid).payload.position[:2])
             for nid in self._nodes
         }
-        self.balance = solve_color_balance(self.correspondences, cam_positions)
+        with PerformanceMeasure("ortho: balance solve"):
+            self.balance = solve_color_balance(self.correspondences, cam_positions)
         return True
 
     # -- pass 2: correct + blend + stream-write ---------------------------
@@ -1052,23 +1121,30 @@ class OrthoJob:
         )
         cam_writer = None
         if camera_id_path:
+            # single uint64 band: the reference round-trips whole uint64
+            # camera ids through this raster (test_ortho_functional.cpp)
             cam_writer = GeoTiffTileWriter(
-                camera_id_path, self._width, self._height, 2, np.uint32,
+                camera_id_path, self._width, self._height, 1, np.uint64,
                 (b.min_x, b.max_y), (self._gsd, self._gsd),
                 tile_size=self.tile_size, wkt=wkt,
             )
+        from opencalibration_tpu.utils.performance import PerformanceMeasure
+
         ts = self.tile_size
         try:
             for k, (tx, ty) in enumerate(self._order):
                 idx = ty * self._tiles_x + tx
-                layers = self._load_tile(idx)
+                with PerformanceMeasure("ortho: load layers"):
+                    layers = self._load_tile(idx)
                 tw = min(ts, self._width - tx * ts)
                 th = min(ts, self._height - ty * ts)
                 if layers is None:
                     rgba = np.zeros((th, tw, 4), np.uint8)
                 else:
-                    rgba = self._blend_tile(layers, th, tw, tables)
-                writer.write_tile(tx, ty, rgba)
+                    with PerformanceMeasure("ortho: blend tile"):
+                        rgba = self._blend_tile(layers, th, tw, tables)
+                with PerformanceMeasure("ortho: write tiles"):
+                    writer.write_tile(tx, ty, rgba)
                 if cam_writer is not None:
                     if layers is None:
                         ids = np.zeros((th, tw), np.uint64)
@@ -1080,16 +1156,7 @@ class OrthoJob:
                             np.asarray(self._nodes, np.uint64)[best],
                             np.uint64(0),
                         )
-                    cam_writer.write_tile(
-                        tx, ty,
-                        np.stack(
-                            [
-                                (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                                (ids >> np.uint64(32)).astype(np.uint32),
-                            ],
-                            axis=2,
-                        ),
-                    )
+                    cam_writer.write_tile(tx, ty, ids[..., None])
                 if self.tile_callback is not None:
                     import base64
 

@@ -376,7 +376,16 @@ def _bj_build(quads, blocks, layout, damp, diag):
     tail = tail + jnp.diag(damp[layout.focal_off :]) + 1e-10 * jnp.eye(
         TT, dtype=dtype
     )
-    inv_tail = jnp.linalg.inv(tail)
+    # symmetric Jacobi scaling before the f32 inversion (same rationale as
+    # _jacobi_solve): the intrinsics tail mixes focal (~1e2..1e3 px) and
+    # distortion (~1e-1) units, and the raw block can be poorly enough
+    # conditioned that a plain f32 inv loses the preconditioner's benefit
+    s_tail = jax.lax.rsqrt(jnp.clip(jnp.diag(tail), 1e-24, 1e32))
+    inv_tail = (
+        s_tail[:, None]
+        * jnp.linalg.inv(tail * s_tail[:, None] * s_tail[None, :])
+        * s_tail[None, :]
+    )
 
     def apply(r):
         zr = jnp.einsum(

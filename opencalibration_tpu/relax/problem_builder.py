@@ -371,9 +371,12 @@ def build_mesh_problem(
     model_index: Dict[int, int] = {}
     inv_models: List[CameraModel] = []
     use_intrinsics = options.any_intrinsics
-    for mid, m in sorted(cam_models.items()):
-        model_index[mid] = len(inv_models)
-        inv_models.append(D.convert_to_inverse(m.astype(_wide())))
+    from opencalibration_tpu.utils.performance import PerformanceMeasure
+
+    with PerformanceMeasure("build: model inversion"):
+        for mid, m in sorted(cam_models.items()):
+            model_index[mid] = len(inv_models)
+            inv_models.append(D.convert_to_inverse(m.astype(_wide())))
     if not inv_models:
         # derive from graph nodes
         for nid in cam_index:
@@ -586,7 +589,8 @@ def build_mesh_problem(
 
         tri_idx_all2 = np.full(R, -1, np.int64)
         if sel.any():
-            tri_idx_all2[sel] = mesh.find_triangles(mid_all[:R][sel, :2])
+            with PerformanceMeasure("build: find triangles"):
+                tri_idx_all2[sel] = mesh.find_triangles(mid_all[:R][sel, :2])
         cand_rows = np.flatnonzero(tri_idx_all2 >= 0)
 
         # phase 3 skip rules (reference relax_problem.cpp:435-466):

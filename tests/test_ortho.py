@@ -85,22 +85,19 @@ def test_geotiff_tile_writer_streaming(tmp_path):
     assert cv2.imread(path, cv2.IMREAD_UNCHANGED) is not None
 
 
-def test_geotiff_tile_writer_uint32_camera_ids(tmp_path):
-    """Camera-id sidecar: uint32 2-band tiled raster round-trips 64-bit ids
+def test_geotiff_tile_writer_uint64_camera_ids(tmp_path):
+    """Camera-id sidecar: ONE uint64 band round-trips whole 64-bit ids
     (the reference round-trips uint64 camera ids through GeoTIFF sidecars,
     test_ortho_functional.cpp)."""
     from opencalibration_tpu.io.geotiff import GeoTiffTileWriter, read_geotiff
 
     ids = np.array([[2**40 + 17, 0], [123456789012345, 2**63 - 1]], np.uint64)
-    lo = (ids & 0xFFFFFFFF).astype(np.uint32)
-    hi = (ids >> 32).astype(np.uint32)
     path = str(tmp_path / "camids.tif")
-    w = GeoTiffTileWriter(path, 2, 2, 2, np.uint32, (0, 0), (1, 1), tile_size=16)
-    w.write_tile(0, 0, np.stack([lo, hi], axis=2))
+    w = GeoTiffTileWriter(path, 2, 2, 1, np.uint64, (0, 0), (1, 1), tile_size=16)
+    w.write_tile(0, 0, ids[..., None])
     w.close()
     back, *_ = read_geotiff(path)
-    rec = back[:, :, 0].astype(np.uint64) | (back[:, :, 1].astype(np.uint64) << 32)
-    np.testing.assert_array_equal(rec, ids)
+    np.testing.assert_array_equal(back[:, :, 0], ids)
 
 
 def test_hilbert_order_is_permutation_and_local():
@@ -439,9 +436,9 @@ def test_ortho_streaming_blend_with_spill_and_camera_ids(tmp_path):
     img, origin, px, _ = read_geotiff(out)
     assert img.shape[2] == 4 and (img[:, :, 3] == 255).mean() > 0.1
     ids, *_ = read_geotiff(camids)
-    rec = ids[:, :, 0].astype(np.uint64) | (ids[:, :, 1].astype(np.uint64) << 32)
+    assert ids.dtype == np.dtype("<u8") and ids.shape[2] == 1
     covered = img[:, :, 3] == 255
-    node_ids = set(int(i) for i in np.unique(rec[covered]))
+    node_ids = set(int(i) for i in np.unique(ids[:, :, 0][covered]))
     assert node_ids and node_ids.issubset({int(n) for n in graph.node_ids()})
 
 
