@@ -312,6 +312,48 @@ def _sample_select_kernel(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ts", "levels"))
+def _correct_blend_kernel(
+    colors, weights, geom, cam, off, brdf, slope, vig, transition, ts, levels
+):
+    """BLEND_LAYERS device chain fused into ONE program: radiometric
+    correction (offsets + vignetting + BRDF + slope, reference
+    ortho.cpp:1839-1875) -> sigmoid transition weights -> pull-push hole
+    fill -> Laplacian blend. One dispatch + one pull per tile instead of
+    three awaited round-trips (the per-tile RTT through a remote device
+    link dominated the blend pass)."""
+    from opencalibration_tpu.ortho.blending import (
+        laplacian_blend,
+        pull_push_fill,
+    )
+
+    colors = colors.astype(jnp.float32)
+    raw = weights.astype(jnp.float32)
+    geom = geom.astype(jnp.float32)
+    r2 = geom[..., 0] ** 2
+    theta = geom[..., 1]
+    colors = colors - off[cam]
+    v = vig[cam]
+    corr = (
+        v[..., 0] * r2 + v[..., 1] * r2**2 + v[..., 2] * r2**3
+        + brdf[cam] * theta * theta
+        + slope[cam][..., 0] * geom[..., 2]
+        + slope[cam][..., 1] * geom[..., 3]
+    )
+    colors = colors.at[..., 0].add(-corr)
+    trans = jax.nn.sigmoid(
+        (raw - raw[0:1]) / jnp.maximum(transition, 1e-6) * 6.0
+    )
+    w = raw * trans
+    K = colors.shape[0]
+    colors = colors.reshape(K, ts, ts, 3)
+    w4 = w.reshape(K, ts, ts, 1)
+    filled = pull_push_fill(colors, w4)
+    blended = laplacian_blend(filled, w4, levels=levels)
+    alpha = raw.reshape(K, ts, ts).max(axis=0) > 0
+    return jnp.clip(blended, 0, 255).astype(jnp.uint8), alpha
+
+
 @jax.jit
 def _corner_world_rays(corner_px, quats, models):
     """[N, 4, 2] image-corner pixels -> [N, 4, 3] world ray directions."""
@@ -863,10 +905,17 @@ class OrthoJob:
         ]
 
     def _project_tile(self, tx: int, ty: int) -> Optional[dict]:
+        disp = self._project_tile_dispatch(tx, ty)
+        return self._project_tile_finish(disp)
+
+    def _project_tile_dispatch(self, tx: int, ty: int) -> Optional[dict]:
         """Render one tile's layer stack: per-pixel top-KMAX cameras.
 
         The world grid always spans a full tile (static shapes, one XLA
-        compile); edge tiles are cropped at write time."""
+        compile); edge tiles are cropped at write time. Dispatch/finish
+        are split so the caller can enqueue tile N+1's kernel before
+        pulling tile N's results (one-deep pipeline: the device link's
+        round-trip hides behind the next tile's compute)."""
         ts = self.tile_size
         b = self._bounds
         gsd = self._gsd
@@ -918,24 +967,31 @@ class OrthoJob:
             np.float32,
         )
         kmax = min(MAX_CAMERAS_PER_PIXEL, kc)
-        lcolors, lweights, lgeom, sel = jax.device_get(
-            _sample_select_kernel(
-                jnp.asarray(points, jnp.float32),
-                jnp.asarray(self._quats_all[idxs], jnp.float32),
-                jnp.asarray(self._poss_all[idxs], jnp.float32),
-                models,
-                stack,
-                jnp.asarray(np.asarray(hws, np.int32)),
-                jnp.asarray(scales),
-                jnp.asarray(valid_mask),
-                jnp.asarray(self._ctx.average_camera_elevation, jnp.float32),
-                jnp.asarray(gsd, jnp.float32),
-                taps=self.taps,
-                kmax=kmax,
-            )
+        dev = _sample_select_kernel(
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(self._quats_all[idxs], jnp.float32),
+            jnp.asarray(self._poss_all[idxs], jnp.float32),
+            models,
+            stack,
+            jnp.asarray(np.asarray(hws, np.int32)),
+            jnp.asarray(scales),
+            jnp.asarray(valid_mask),
+            jnp.asarray(self._ctx.average_camera_elevation, jnp.float32),
+            jnp.asarray(gsd, jnp.float32),
+            taps=self.taps,
+            kmax=kmax,
         )
+        return dict(dev=dev, idxs=idxs, valid_z=valid_z, z=z)
+
+    def _project_tile_finish(self, disp: Optional[dict]) -> Optional[dict]:
+        if disp is None:
+            return None
+        lcolors, lweights, lgeom, sel = jax.device_get(disp["dev"])
+        valid_z = disp["valid_z"]
+        z = disp["z"]
         lweights = lweights * valid_z[None].astype(np.float16)
-        lcam = np.asarray(idxs, np.int32)[sel]  # node-list index per sample
+        # node-list index per sample
+        lcam = np.asarray(disp["idxs"], np.int32)[sel]
         return dict(
             colors=lcolors,
             weights=lweights,
@@ -955,6 +1011,22 @@ class OrthoJob:
         import concurrent.futures
 
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+
+        def _finish(pending):
+            idx, disp = pending
+            with PerformanceMeasure("ortho: finish tile"):
+                layers = self._project_tile_finish(disp)
+            if layers is None:
+                return
+            with PerformanceMeasure("ortho: store tile"):
+                self._store_tile(idx, layers)
+            with PerformanceMeasure("ortho: correspondences"):
+                self._collect_correspondences(layers)
+
+        # one-deep pipeline: tile N+1's kernel is enqueued on the device
+        # before tile N's results are pulled, so the pull's link RTT
+        # overlaps the next tile's device compute
+        pending = None
         try:
             for i, (tx, ty) in enumerate(self._order):
                 if i + 1 < len(self._order):
@@ -964,13 +1036,12 @@ class OrthoJob:
                     )
                 idx = ty * self._tiles_x + tx
                 with PerformanceMeasure("ortho: project tile"):
-                    layers = self._project_tile(tx, ty)
-                if layers is None:
-                    continue
-                with PerformanceMeasure("ortho: store tile"):
-                    self._store_tile(idx, layers)
-                with PerformanceMeasure("ortho: correspondences"):
-                    self._collect_correspondences(layers)
+                    disp = self._project_tile_dispatch(tx, ty)
+                if pending is not None:
+                    _finish(pending)
+                pending = (idx, disp)
+            if pending is not None:
+                _finish(pending)
         finally:
             pool.shutdown(wait=False)
         return True
@@ -1044,59 +1115,46 @@ class OrthoJob:
         return off, brdf, slope, vig
 
     def _blend_tile(self, layers: dict, th: int, tw: int, tables) -> np.ndarray:
-        """Correct + sigmoid-transition-weight + fill + Laplacian blend one
-        tile; returns RGBA [th, tw, 4]."""
+        return self._blend_tile_finish(
+            self._blend_tile_dispatch(layers, tables), th, tw
+        )
+
+    def _blend_tile_dispatch(self, layers: dict, tables_dev):
+        """Enqueue one tile's fused correct+transition+fill+blend kernel;
+        returns device handles (pull with _blend_tile_finish)."""
+        off, brdf, slope, vig = tables_dev
+        return _correct_blend_kernel(
+            jnp.asarray(layers["colors"]),  # [K, P, 3] f16
+            jnp.asarray(layers["weights"]),  # [K, P] f16
+            jnp.asarray(layers["geom"]),  # [K, P, 4] f16
+            jnp.asarray(layers["cam"]),  # [K, P] int32
+            off, brdf, slope, vig,
+            jnp.asarray(self.blend_transition, jnp.float32),
+            ts=self.tile_size,
+            levels=min(
+                self.blend_levels, max(1, int(math.log2(self.tile_size)) - 1)
+            ),
+        )
+
+    def _blend_tile_finish(self, dev, th: int, tw: int) -> np.ndarray:
+        """Pull + Lab->BGR convert + alpha + crop; returns RGBA [th, tw, 4]."""
         import cv2
 
-        ts = self.tile_size
-        off, brdf, slope, vig = tables
-        colors = layers["colors"].astype(np.float32)  # [K, P, 3]
-        weights = layers["weights"].astype(np.float32)  # [K, P]
-        geom = layers["geom"].astype(np.float32)
-        cam = layers["cam"]  # [K, P]
-
-        # full radiometric correction per sample (reference ortho.cpp:1839-1875)
-        r2 = geom[..., 0].astype(np.float64) ** 2
-        theta = geom[..., 1]
-        colors -= off[cam]
-        v = vig[cam]
-        colors[..., 0] -= (
-            v[..., 0] * r2 + v[..., 1] * r2**2 + v[..., 2] * r2**3
-            + brdf[cam] * theta * theta
-            + slope[cam][..., 0] * geom[..., 2]
-            + slope[cam][..., 1] * geom[..., 3]
-        ).astype(np.float32)
-
-        # sigmoid transition vs the per-pixel best layer
-        # (reference blend_transition_radius, ortho.cpp:1839-1875)
-        raw = weights
-        wbest = raw[0:1]  # layers sorted by weight desc
-        trans = np.asarray(
-            sigmoid_transition_weight(
-                jnp.asarray(raw), jnp.asarray(wbest), self.blend_transition
-            )
-        )
-        weights = raw * trans
-
-        K = colors.shape[0]
-        colors = colors.reshape(K, ts, ts, 3)
-        w4 = weights.reshape(K, ts, ts, 1)
-        filled = np.asarray(
-            pull_push_fill(jnp.asarray(colors), jnp.asarray(w4, jnp.float32))
-        )
-        blended = np.asarray(
-            laplacian_blend(
-                jnp.asarray(filled), jnp.asarray(w4, jnp.float32),
-                levels=min(self.blend_levels, max(1, int(math.log2(ts)) - 1)),
-            )
-        )
-        alpha = (raw.reshape(K, ts, ts).max(axis=0) > 0)
-        lab8 = np.clip(blended, 0, 255).astype(np.uint8)
+        lab8, alpha = jax.device_get(dev)
         bgr = cv2.cvtColor(lab8, cv2.COLOR_Lab2BGR)
         rgba = np.concatenate(
             [bgr, np.where(alpha, 255, 0).astype(np.uint8)[..., None]], axis=2
         )
         return rgba[:th, :tw]
+
+    def _device_tables(self):
+        off, brdf, slope, vig = self._correction_tables()
+        return (
+            jax.device_put(jnp.asarray(off, jnp.float32)),
+            jax.device_put(jnp.asarray(brdf, jnp.float32)),
+            jax.device_put(jnp.asarray(slope, jnp.float32)),
+            jax.device_put(jnp.asarray(vig, jnp.float32)),
+        )
 
     def pass_blend(self, path: str, camera_id_path: Optional[str] = None) -> bool:
         """BLEND_LAYERS: correct stored layers, blend, stream tiles into a
@@ -1113,7 +1171,7 @@ class OrthoJob:
             if self.geocoord is not None and self.geocoord.is_initialized()
             else None
         )
-        tables = self._correction_tables()
+        tables = self._device_tables()
         writer = GeoTiffTileWriter(
             path, self._width, self._height, 4, np.uint8,
             (b.min_x, b.max_y), (self._gsd, self._gsd),
@@ -1131,6 +1189,49 @@ class OrthoJob:
         from opencalibration_tpu.utils.performance import PerformanceMeasure
 
         ts = self.tile_size
+
+        def _finish(pending):
+            k, tx, ty, layers, dev, th, tw = pending
+            if dev is None:
+                rgba = np.zeros((th, tw, 4), np.uint8)
+            else:
+                with PerformanceMeasure("ortho: blend finish"):
+                    rgba = self._blend_tile_finish(dev, th, tw)
+            with PerformanceMeasure("ortho: write tiles"):
+                writer.write_tile(tx, ty, rgba)
+            if cam_writer is not None:
+                if layers is None:
+                    ids = np.zeros((th, tw), np.uint64)
+                else:
+                    best = layers["cam"][0].reshape(ts, ts)[:th, :tw]
+                    covered = rgba[:, :, 3] == 255
+                    ids = np.where(
+                        covered,
+                        np.asarray(self._nodes, np.uint64)[best],
+                        np.uint64(0),
+                    )
+                cam_writer.write_tile(tx, ty, ids[..., None])
+            if self.tile_callback is not None:
+                import base64
+
+                import cv2
+
+                small = cv2.resize(rgba, (64, 64), interpolation=cv2.INTER_AREA)
+                ok_png, buf = cv2.imencode(".png", small)
+                self.tile_callback(
+                    dict(
+                        tile_x=tx, tile_y=ty,
+                        num_tiles_x=self._tiles_x,
+                        num_tiles_y=self._tiles_y,
+                        fraction_done=(k + 1) / max(len(self._order), 1),
+                        png_base64=base64.b64encode(buf.tobytes()).decode("ascii")
+                        if ok_png else None,
+                    )
+                )
+
+        # same one-deep pipeline as pass_layers: tile N+1's fused blend
+        # kernel is enqueued before tile N's pixels are pulled
+        pending = None
         try:
             for k, (tx, ty) in enumerate(self._order):
                 idx = ty * self._tiles_x + tx
@@ -1138,42 +1239,15 @@ class OrthoJob:
                     layers = self._load_tile(idx)
                 tw = min(ts, self._width - tx * ts)
                 th = min(ts, self._height - ty * ts)
-                if layers is None:
-                    rgba = np.zeros((th, tw, 4), np.uint8)
-                else:
-                    with PerformanceMeasure("ortho: blend tile"):
-                        rgba = self._blend_tile(layers, th, tw, tables)
-                with PerformanceMeasure("ortho: write tiles"):
-                    writer.write_tile(tx, ty, rgba)
-                if cam_writer is not None:
-                    if layers is None:
-                        ids = np.zeros((th, tw), np.uint64)
-                    else:
-                        best = layers["cam"][0].reshape(ts, ts)[:th, :tw]
-                        covered = rgba[:, :, 3] == 255
-                        ids = np.where(
-                            covered,
-                            np.asarray(self._nodes, np.uint64)[best],
-                            np.uint64(0),
-                        )
-                    cam_writer.write_tile(tx, ty, ids[..., None])
-                if self.tile_callback is not None:
-                    import base64
-
-                    import cv2
-
-                    small = cv2.resize(rgba, (64, 64), interpolation=cv2.INTER_AREA)
-                    ok_png, buf = cv2.imencode(".png", small)
-                    self.tile_callback(
-                        dict(
-                            tile_x=tx, tile_y=ty,
-                            num_tiles_x=self._tiles_x,
-                            num_tiles_y=self._tiles_y,
-                            fraction_done=(k + 1) / max(len(self._order), 1),
-                            png_base64=base64.b64encode(buf.tobytes()).decode("ascii")
-                            if ok_png else None,
-                        )
-                    )
+                dev = None
+                if layers is not None:
+                    with PerformanceMeasure("ortho: blend dispatch"):
+                        dev = self._blend_tile_dispatch(layers, tables)
+                if pending is not None:
+                    _finish(pending)
+                pending = (k, tx, ty, layers, dev, th, tw)
+            if pending is not None:
+                _finish(pending)
         finally:
             writer.close()
             if cam_writer is not None:

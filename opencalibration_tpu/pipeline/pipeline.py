@@ -53,6 +53,27 @@ class PipelineState:
         BLEND_LAYERS, COMPLETE,
     ]
 
+    # states whose handler may return "REPEAT" (self-loop) — the committed
+    # docs/pipeline_states.dot is generated from this and validated in CI
+    # (the reference validates its pipeline.cpp.dot the same way)
+    REPEATABLE = {
+        INITIAL_PROCESSING, MESH_REFINEMENT, INITIAL_GLOBAL_RELAX,
+        CAMERA_PARAMETER_RELAX, FINAL_GLOBAL_RELAX,
+    }
+
+    @classmethod
+    def transition_dot(cls) -> str:
+        """GraphViz dot of the state machine: linear NEXT chain through
+        ORDER plus REPEAT self-loops (reference pipeline.cpp.dot)."""
+        lines = ["digraph pipeline_states {", "  rankdir=TB;"]
+        for a, b in zip(cls.ORDER, cls.ORDER[1:]):
+            lines.append(f"  {a} -> {b};")
+        for s in cls.ORDER:
+            if s in cls.REPEATABLE:
+                lines.append(f"  {s} -> {s} [label=\"REPEAT\"];")
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
 
 RELAX_MAX_ITERATIONS = 5  # reference pipeline.cpp:39
 FINAL_RELAX_MAX_ITERATIONS = 3  # reference pipeline.cpp:40
