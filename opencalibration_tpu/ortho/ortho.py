@@ -308,7 +308,10 @@ def _sample_select_kernel(
         lcolors.astype(jnp.float16),
         wT.T.astype(jnp.float16),
         lgeom.astype(jnp.float16),
-        sel,
+        # uint8 quarters the selection map's share of the per-tile
+        # device->host pull (guarded: huge-survey tiles can exceed 255
+        # candidates)
+        sel.astype(jnp.uint8) if weights.shape[0] <= 255 else sel,
     )
 
 

@@ -459,9 +459,12 @@ class Pipeline:
             for s in self.surfaces
             if s.mesh is not None
         )
+        # radial_tier is NOT structural: the monotonicity prior is always
+        # built when any_intrinsics and gated by weight, so the whole
+        # 6-tier camera-parameter schedule reuses one problem structure
         struct = (
             options.ground_mesh, options.ground_plane, options.points_3d,
-            options.any_intrinsics, options.radial_tier > 0,
+            options.any_intrinsics,
             options.minimal_mesh, round(options.grid_fraction, 9),
         )
         return (

@@ -455,6 +455,7 @@ def build_mesh_problem(
     model_order = sorted(model_index, key=model_index.get)
     fwd_stack = stack_cameras([fwd_models[mid] for mid in model_order])
     live_edges = []
+    _pm_gather = PerformanceMeasure("build: edge gather host")
     A_px1, A_px2, A_mi1, A_mi2, A_q1, A_q2, A_p1, A_p2 = ([] for _ in range(8))
     for edge_id in edge_list:
         e = graph.get_edge(edge_id)
@@ -473,6 +474,7 @@ def build_mesh_problem(
         A_q2.append(np.repeat(quats[cam_index[e.dest]][None], n, 0))
         A_p1.append(np.repeat(positions[cam_index[e.source]][None], n, 0))
         A_p2.append(np.repeat(positions[cam_index[e.dest]][None], n, 0))
+    _pm_gather.__exit__()
 
     if live_edges:
         from opencalibration_tpu.utils.performance import PerformanceMeasure
@@ -661,6 +663,7 @@ def build_mesh_problem(
     if not b_vert:
         return None
 
+    _pm_stack = PerformanceMeasure("build: stack blocks")
     NB = len(b_vert)
     nb = _bucket(NB, minimum=64)
     common = dict(
@@ -722,7 +725,12 @@ def build_mesh_problem(
                     jnp.ones(len(interior), dtype),
                 )
             )
-    if options.radial_tier > 0 and inv_models:
+    if use_intrinsics and inv_models:
+        # the monotonicity prior is present whenever intrinsics are in the
+        # problem, gated by WEIGHT (0 until a radial tier opens) — so the
+        # camera-parameter tier schedule (radial 0 -> 1 -> 2 -> 3) changes
+        # only values/masks and the cached problem STRUCTURE survives the
+        # whole state (the tier switch previously forced a full rebuild)
         r_max, obs_w, midx = [], [], []
         for mid, slot in model_index.items():
             m = cam_models.get(mid)
@@ -733,14 +741,16 @@ def build_mesh_problem(
             obs_w.append(np.sqrt(NB / 10.0))
             midx.append(slot)
         if midx:
+            w_tier = 1.0 if options.radial_tier > 0 else 0.0
             blocks.append(
                 B.monotonicity_block(
                     layout, jnp.asarray(midx, jnp.int32),
                     jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
-                    jnp.ones(len(midx), dtype),
+                    jnp.full(len(midx), w_tier, dtype),
                 )
             )
 
+    _pm_stack.__exit__()
     mesh_free = jnp.arange(V_pad) < V_real  # padded slots frozen
     free = layout.build_free_mask(
         rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
@@ -884,7 +894,8 @@ def build_points_problem(
     )
     blocks = [blk]
 
-    if options.radial_tier > 0:
+    if options.any_intrinsics:
+        # weight-gated like the mesh problem: tier changes stay value-only
         r_max, obs_w, midx = [], [], []
         for mid, slot in model_index.items():
             m = cam_models[mid]
@@ -892,11 +903,12 @@ def build_points_problem(
             r_max.append(half / max(float(m.focal_length_pixels), 1.0))
             obs_w.append(np.sqrt(P_count / 10.0))
             midx.append(slot)
+        w_tier = 1.0 if options.radial_tier > 0 else 0.0
         blocks.append(
             B.monotonicity_block(
                 layout, jnp.asarray(midx, jnp.int32),
                 jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
-                jnp.ones(len(midx), dtype),
+                jnp.full(len(midx), w_tier, dtype),
             )
         )
 
@@ -1039,6 +1051,7 @@ def refresh_problem(
 
     # the anchor prior follows the pass-entry mesh (the reference rebuilds
     # each pass, anchoring to the entry z — same semantics)
+    mid_of_slot = {slot: mid for mid, slot in built.model_index.items()}
     for i, blk in enumerate(built.blocks):
         if blk.name == "mesh_anchor":
             z_now = jnp.asarray(
@@ -1047,6 +1060,25 @@ def refresh_problem(
             data = dict(blk.data)
             data["target"] = z_now
             built.blocks[i] = dataclasses.replace(blk, data=data)
+        elif blk.name == "monotonicity":
+            # tier schedule lives in the WEIGHT (0 = prior off); r_max
+            # tracks the current focal the way a rebuild would
+            w_tier = 1.0 if options.radial_tier > 0 else 0.0
+            r_max = np.array(np.asarray(blk.data["r_max"]), np.float64)
+            for r, slot in enumerate(np.asarray(blk.data["model_i"])):
+                m = cam_models.get(mid_of_slot.get(int(slot)))
+                if m is not None:
+                    half = np.hypot(
+                        float(m.pixels_cols), float(m.pixels_rows)
+                    ) / 2.0
+                    r_max[r] = half / max(float(m.focal_length_pixels), 1.0)
+            data = dict(blk.data)
+            data["r_max"] = jnp.asarray(r_max, dt)
+            built.blocks[i] = dataclasses.replace(
+                blk,
+                data=data,
+                weight=jnp.full_like(jnp.asarray(blk.weight), w_tier),
+            )
     return True
 
 

@@ -50,13 +50,20 @@ def _undistort_nodes_device(px, models):
 
 @jax.jit
 def _rays_and_first_mids_device(
-    px, models, node_quats, node_pos, n0, f0, n1, f1
+    px, models, node_quats, node_pos, n0, f0, n1, f1, mem_n, mem_f
 ):
     """Fused undistort + world rotation + first-two-ray triangulation in
     ONE dispatch: through a remote-TPU tunnel every awaited dispatch costs
     a full round-trip (~0.2 s measured, with multi-second outliers), so
     the split undistort -> host loop -> intersection pattern paid twice
-    per build. Returns (camera rays [K, N, 3], track midpoints [T, 3])."""
+    per build.
+
+    Only the (mem_n, mem_f) track-member rays are RETURNED: the full
+    [K, N, 3] ray field is ~50 MB at 1k-survey group sizes and the
+    remote link's device->host direction measured as slow as ~0.2 MB/s
+    under load (a 245 s pull for the array this used to return); the
+    gathered members are ~1 MB. Returns (member rays [M, 3],
+    track midpoints [T, 3])."""
     from opencalibration_tpu.ops.intersection import ray_intersection
     from opencalibration_tpu.ops.quaternion import quat_rotate
 
@@ -66,7 +73,7 @@ def _rays_and_first_mids_device(
     d0 = quat_rotate(node_quats[n0], rays[n0, f0])
     d1 = quat_rotate(node_quats[n1], rays[n1, f1])
     mids, _ = ray_intersection(d0, node_pos[n0], d1, node_pos[n1])
-    return rays, mids
+    return rays[mem_n, mem_f], mids
 
 
 class _UF:
@@ -256,13 +263,19 @@ def build_multiray_tracks(
         len(graph.get_node(nid).payload.features.xy) for nid in node_list
     ]
     nb = _bucket(max(counts), minimum=64)
-    px_stack = np.zeros((len(node_list), nb, 2))
+    # bucket the NODE dimension too: per-group node counts vary, and an
+    # exact-size [N, nb, 2] stack compiles a fresh undistort kernel per
+    # distinct N — measured 6.7 s/compile x ~20 groups = ~190 s of a 1k
+    # run's problem builds (padded rows reuse node 0's model/pose and are
+    # never referenced by the track index rows)
+    n_pad = _bucket(len(node_list), minimum=16)
+    px_stack = np.zeros((n_pad, nb, 2), np.float32)
     for i, nid in enumerate(node_list):
         xy = np.asarray(graph.get_node(nid).payload.features.xy)
         px_stack[i, : len(xy)] = xy
-    models_stacked = stack_cameras(
-        [fwd_models[node_model[nid]] for nid in node_list]
-    )
+    pad_models = [fwd_models[node_model[nid]] for nid in node_list]
+    pad_models += [pad_models[0]] * (n_pad - len(node_list))
+    models_stacked = stack_cameras(pad_models)
     row_of = {nid: i for i, nid in enumerate(node_list)}
 
     nb_t = _bucket(len(accepted_list), minimum=64)  # stable compile shape
@@ -270,21 +283,40 @@ def build_multiray_tracks(
     for ai, ti in enumerate(accepted_list):
         (n0, f0), (n1, f1) = cand[ti][0], cand[ti][1]
         tr[ai] = (row_of[n0], f0, row_of[n1], f1)
-    node_quats = np.stack([quats[cam_index[nid]] for nid in node_list])
-    node_pos = np.stack([positions[cam_index[nid]] for nid in node_list])
+    node_quats = np.zeros((n_pad, 4))
+    node_quats[:, 0] = 1.0
+    node_pos = np.zeros((n_pad, 3))
+    for i, nid in enumerate(node_list):
+        node_quats[i] = quats[cam_index[nid]]
+        node_pos[i] = positions[cam_index[nid]]
+
+    # member list over accepted tracks: the only rays the row loop reads
+    mem_pairs = [
+        (row_of[nid], fi) for ti in accepted_list for nid, fi in cand[ti]
+    ]
+    nb_m = _bucket(max(len(mem_pairs), 1), minimum=64)
+    mem_n = np.zeros(nb_m, np.int32)
+    mem_f = np.zeros(nb_m, np.int32)
+    for i, (r, fi) in enumerate(mem_pairs):
+        mem_n[i] = r
+        mem_f[i] = fi
 
     # ONE awaited dispatch: undistort + world rotation + 2-ray midpoints
-    rays_d, mids_d = _rays_and_first_mids_device(
+    mem_rays_d, mids_d = _rays_and_first_mids_device(
         jnp.asarray(px_stack), models_stacked,
         jnp.asarray(node_quats), jnp.asarray(node_pos),
         jnp.asarray(tr[:, 0]), jnp.asarray(tr[:, 1]),
         jnp.asarray(tr[:, 2]), jnp.asarray(tr[:, 3]),
+        jnp.asarray(mem_n), jnp.asarray(mem_f),
     )
-    rays = np.asarray(rays_d)
+    mem_rays = np.asarray(mem_rays_d)
     mids = np.asarray(mids_d)[: len(accepted_list)]
-    node_rays: Dict[int, np.ndarray] = {
-        nid: rays[i, : counts[i]] for i, nid in enumerate(node_list)
-    }
+    ray_at: Dict[Tuple[int, int], np.ndarray] = {}
+    k_mem = 0
+    for ti in accepted_list:
+        for nid, fi in cand[ti]:
+            ray_at[(nid, fi)] = mem_rays[k_mem]
+            k_mem += 1
     finite = np.isfinite(mids).all(axis=1)
     tri_idx_all = np.full(len(accepted_list), -1, np.int64)
     if finite.any():
@@ -304,7 +336,7 @@ def build_multiray_tracks(
         pixels = np.stack(
             [graph.get_node(nid).payload.features.xy[fi] for nid, fi in items]
         )
-        dirs_cam = np.stack([node_rays[nid][fi] for nid, fi in items])
+        dirs_cam = np.stack([ray_at[(nid, fi)] for nid, fi in items])
         cams = np.asarray([cam_index[nid] for nid in nids])
         q = quats[cams]
         t = positions[cams]
