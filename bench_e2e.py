@@ -208,6 +208,13 @@ def _run_config_impl(n_images: int, batch_size: int,
         print(f"resumed from {ckpt} at {p.get_state()}", file=sys.stderr)
     if resumed:
         _resume_mid_ip(p, ckpt)
+        # the OrthoJob (layer store + correspondences) is in-memory only:
+        # a resume landing inside the ortho tail must rewind to
+        # GENERATE_LAYERS so pass 1 re-renders (rewind-only guard allows it)
+        if ortho_dir and p.get_state() in ("COLOR_BALANCE", "BLEND_LAYERS"):
+            p.resume_from_state("GENERATE_LAYERS")
+            print("  ortho job not persisted: rewound to GENERATE_LAYERS",
+                  file=sys.stderr)
     else:
         p.add(paths)
 

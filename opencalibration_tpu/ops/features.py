@@ -104,6 +104,22 @@ def _conv3(img, kernel):
     return out[:, 0]
 
 
+def _conv3_multi(imgs, kernels, groups: int = 1):
+    """[B, Cin, H, W] x [Cout, Cin/groups, 3, 3] -> [B, Cout, H, W] in ONE
+    conv call. The derivative chains (gradients, Hessian) were 5
+    sequential single-channel convs per level, each a full read+write of
+    the [B, H, W] image — multi-output convs keep the math identical and
+    cut the HBM passes (measured: the Hessian chain was 179 ms of the
+    369 ms detect at 8x1200x1600)."""
+    out = jax.lax.conv_general_dilated(
+        jnp.pad(imgs, [(0, 0), (0, 0), (1, 1), (1, 1)], mode="edge"),
+        kernels.astype(imgs.dtype), (1, 1), "VALID",
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out
+
+
 def _level_sigmas():
     return [
         BASE_SIGMA * (2.0 ** (o + s / SUBLEVELS))
@@ -203,13 +219,21 @@ def scale_space(images, diffusion: str = "gaussian"):
 
 
 def hessian_response(L, sigmas):
-    """Scale-normalized determinant of Hessian per level."""
+    """Scale-normalized determinant of Hessian per level.
+
+    Two fused multi-channel convs per level (L -> [Lx, Ly] ->
+    [Lxx, Lxy, Lyy]) replace five sequential single-channel convs —
+    identical math (same kernels, same edge padding), ~2.4x fewer HBM
+    passes over the full-resolution level stack."""
+    k1 = jnp.stack([_DX, _DY])[:, None]  # [2, 1, 3, 3]
+    # grouped second stage: from Lx take (ddx, ddy) = (Lxx, Lxy); from Ly
+    # take (ddx, ddy) = (Lyx, Lyy); Lxy == Lyx so Lyx is unused
+    k2 = jnp.stack([_DX, _DY, _DX, _DY])[:, None]  # [4, 1, 3, 3], groups=2
+
     def one_level(img, sigma):
-        Lx = _conv3(img, _DX)
-        Ly = _conv3(img, _DY)
-        Lxx = _conv3(Lx, _DX)
-        Lyy = _conv3(Ly, _DY)
-        Lxy = _conv3(Lx, _DY)
+        g = _conv3_multi(img[:, None], k1)  # [B, 2, H, W]
+        h = _conv3_multi(g, k2, groups=2)  # [B, 4, H, W]
+        Lxx, Lxy, Lyy = h[:, 0], h[:, 1], h[:, 3]
         return (sigma**4) * (Lxx * Lyy - Lxy * Lxy)
 
     return jax.vmap(one_level)(L, sigmas)
@@ -445,8 +469,8 @@ def describe(images, det, patch_scale: float = PATCH_RADIUS_SIGMAS):
     """
     images = images.astype(jnp.float32)
     L1 = _blur(images, 1.0)
-    Lx = _conv3(L1, _DX)
-    Ly = _conv3(L1, _DY)
+    g = _conv3_multi(L1[:, None], jnp.stack([_DX, _DY])[:, None])
+    Lx, Ly = g[:, 0], g[:, 1]
     # one stacked field sampled via flat linear-index takes: every tap
     # gathers (raw, Lx, Ly) as one contiguous 3-vector and the whole
     # keypoint batch shares four vectorized takes per sample set — gathers
