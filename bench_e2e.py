@@ -145,6 +145,7 @@ def _run_config_impl(n_images: int, batch_size: int,
         get_timer_total,
         reset_performance_counters,
         total_performance_summary,
+        track_compiles,
     )
     from tests.synthetic_survey import write_survey
 
@@ -180,6 +181,7 @@ def _run_config_impl(n_images: int, batch_size: int,
 
     enable_performance_counters(True)
     reset_performance_counters()
+    track_compiles()
     p = Pipeline(batch_size=batch_size, parallelism=16)
     p.generate_thumbnails = False
     p.skip_dense_mesh = True

@@ -29,6 +29,7 @@ from opencalibration_tpu.pipeline.stages import (
 from opencalibration_tpu.relax.problem_builder import RelaxOptions
 from opencalibration_tpu.types.camera import CameraModel
 from opencalibration_tpu.types.graph import MeasurementGraph, SurfaceModel
+from opencalibration_tpu.utils import performance
 from opencalibration_tpu.utils.performance import PerformanceMeasure
 
 
@@ -218,6 +219,7 @@ class Pipeline:
         state = self._state
         handler = getattr(self, "_run_" + state.lower())
         self._maybe_clear_jit_caches()
+        performance.set_compile_scope(state)
         with PerformanceMeasure(f"state {state}"):
             transition = handler()
         if transition == "NEXT":

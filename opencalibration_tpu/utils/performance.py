@@ -94,17 +94,56 @@ class PerformanceMeasure:
         return False
 
 
+# -- XLA compile attribution ------------------------------------------
+# Opt-in listener that charges every backend compile (count + seconds)
+# to the scope label active when it fired — the Pipeline state machine
+# sets the label to the running state, so counter tables show exactly
+# which states recompile (e.g. MESH_REFINEMENT topology changes).
+_compile_scope = "startup"
+_compiles_tracked = False
+
+
+def set_compile_scope(label: str) -> None:
+    global _compile_scope
+    _compile_scope = label
+
+
+def track_compiles() -> None:
+    """Register the (process-lifetime) jax.monitoring compile listener.
+    Idempotent; rows appear as `xla compiles @ <scope>` with system_s =
+    compile seconds and count = number of XLA backend compiles. These
+    rows have no timeline entries (compiles overlap arbitrary scopes),
+    so their wall_s column prints 0."""
+    global _compiles_tracked
+    if _compiles_tracked:
+        return
+    try:
+        import jax.monitoring as monitoring
+    except Exception:  # pragma: no cover - jax always present in practice
+        return
+    _compiles_tracked = True
+
+    def _on_event(name: str, dur: float, **kw) -> None:
+        if name.endswith("backend_compile_duration"):
+            with _lock:
+                key = f"xla compiles @ {_compile_scope}"
+                _totals[key] += dur
+                _counts[key] += 1
+
+    monitoring.register_event_duration_secs_listener(_on_event)
+
+
 def total_performance_summary() -> str:
     """System time, wall time, and effective parallelism per key
     (reference performance.cpp:101-170)."""
     with _lock:
-        if not _timeline:
+        if not _timeline and not _totals:
             return "(performance counters disabled or empty)"
         events = sorted(_timeline)
         keys = sorted(_totals.keys())
         wall: Dict[str, float] = defaultdict(float)
         active: Dict[str, int] = defaultdict(int)
-        last_t = events[0][0]
+        last_t = events[0][0] if events else 0.0
         for t, is_begin, key in events:
             for k, n in active.items():
                 if n > 0:
