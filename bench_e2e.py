@@ -224,10 +224,20 @@ def _run_config_impl(n_images: int, batch_size: int,
     # run the full state machine to COMPLETE (the ortho states no-op
     # unless BENCH_E2E_ORTHO requested outputs)
     prev = None
+    from opencalibration_tpu.utils import performance as _perf
+
+    def _n_compiles() -> int:
+        with _perf._lock:
+            return sum(
+                c for k, c in _perf._counts.items()
+                if k.startswith("xla compiles @")
+            )
+
     for it in range(100000):
         cur = p.get_state()
         rc = p.state_run_count()
         t1 = time.perf_counter()
+        nc0 = _n_compiles()
         state = p.iterate_once()
         if cur != prev or (it and it % 10 == 0):
             # cumulative counter table at every state boundary AND every
@@ -236,9 +246,11 @@ def _run_config_impl(n_images: int, batch_size: int,
             if prev is not None:
                 print(total_performance_summary(), file=sys.stderr, flush=True)
             prev = cur
+        dc = _n_compiles() - nc0
         print(
             f"  [{time.perf_counter() - t0:7.1f}s] {cur} rc={rc}"
-            f" ({time.perf_counter() - t1:.1f}s)",
+            f" ({time.perf_counter() - t1:.1f}s"
+            + (f", {dc} compiles" if dc else "") + ")",
             file=sys.stderr, flush=True,
         )
         if ckpt and state != cur:

@@ -35,17 +35,27 @@ def timeit(fn, *args, repeats=5):
 
 def main():
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(
-        jnp.asarray(rng.random((B, H, W), np.float32), jnp.float32)
-    )
+    # upload PER IMAGE as uint8 (~1.9 MB each) and stack on device: one
+    # >=64 MB device_put through the tunneled link can hang forever (the
+    # bulk-transfer collapse mode, .claude/skills/verify/SKILL.md), and
+    # the pipeline itself ships uint8
+    host = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    print("uploading", flush=True)
+    parts = [jax.device_put(host[i]) for i in range(B)]
+    imgs = jnp.stack(parts).astype(jnp.float32) / 255.0
+    imgs.block_until_ready()
+    print("uploaded", flush=True)
 
     # full fused path
+    print("compiling extract_features", flush=True)
     t_full = timeit(
         lambda x: F.extract_features(x, max_features=2048), imgs
     )
+    print("full done", t_full, flush=True)
 
     # detect only
     t_detect = timeit(lambda x: F.detect(x, max_features=2048), imgs)
+    print("detect done", t_detect, flush=True)
 
     # describe only (fixed detections)
     det = jax.tree.map(

@@ -52,6 +52,7 @@ from opencalibration_tpu.types.graph import MeasurementGraph, SurfaceModel
 
 MAX_CAMERAS_PER_PIXEL = 5  # reference ortho.cpp closest5
 DEFAULT_TILE = 256
+CORR_STRIDE = 97  # every 97th overlap pixel feeds color balance
 
 
 def _next_pow2(n: int) -> int:
@@ -357,6 +358,60 @@ def _correct_blend_kernel(
     return jnp.clip(blended, 0, 255).astype(jnp.uint8), alpha
 
 
+@functools.partial(jax.jit, static_argnames=("stride", "s_max"))
+def _corr_sample_kernel(
+    lcolors, lweights, lgeom, sel, cam_ids, valid_z, stride: int, s_max: int
+):
+    """Device-side strided color-correspondence sampling.
+
+    Picks every ``stride``-th pixel where the two strongest layers
+    overlap — the exact sample set the host-side collector chose from the
+    pulled layer stack (reference ortho.cpp:1324-1418) — and scatters
+    each sample's (camera pair, Lab pair, radiometric geometry pair) into
+    a fixed ``s_max``-slot output. Pass 1 then pulls ~50 KB per tile
+    instead of the full ~5 MB layer stack."""
+    w = lweights.astype(jnp.float32) * valid_z[None].astype(jnp.float32)
+    both = (w[0] > 0) & (w[1] > 0)  # [P]
+    cnt = jnp.cumsum(both.astype(jnp.int32))
+    take = both & (((cnt - 1) % stride) == 0)
+    # each taken pixel owns a unique slot; everything else targets the
+    # dropped overflow slot s_max
+    slot = jnp.where(take, jnp.minimum((cnt - 1) // stride, s_max), s_max)
+    cam = cam_ids[sel.astype(jnp.int32)]  # [kmax, P] node-list indices
+
+    def gather(x):
+        out = jnp.zeros((s_max + 1,) + x.shape[1:], x.dtype)
+        return out.at[slot].set(x)[:s_max]
+
+    lab = lcolors.astype(jnp.float32)
+    geo = lgeom.astype(jnp.float32)
+    return dict(
+        cam_a=gather(cam[0]), cam_b=gather(cam[1]),
+        lab_a=gather(lab[0]), lab_b=gather(lab[1]),
+        geom_a=gather(geo[0]), geom_b=gather(geo[1]),
+        valid=gather(take),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "levels"))
+def _render_blend_kernel(
+    lcolors, lweights, lgeom, sel, cam_ids, valid_z,
+    off, brdf, slope, vig, transition, ts: int, levels: int,
+):
+    """Adapter fusing a freshly rendered layer stack (still on device)
+    into the correction+transition+fill+blend chain: maps selection slots
+    to node-list camera indices and applies the mesh-validity mask, so
+    BLEND_LAYERS needs no host-side layer store at all. Also returns the
+    strongest layer's camera index per pixel for the camera-id raster."""
+    cam = cam_ids[sel.astype(jnp.int32)]
+    w = lweights * valid_z[None].astype(lweights.dtype)
+    lab8, alpha = _correct_blend_kernel(
+        lcolors, w, lgeom, cam, off, brdf, slope, vig, transition,
+        ts=ts, levels=levels,
+    )
+    return lab8, alpha, cam[0]
+
+
 @jax.jit
 def _corner_world_rays(corner_px, quats, models):
     """[N, 4, 2] image-corner pixels -> [N, 4, 3] world ray directions."""
@@ -652,19 +707,22 @@ class OrthoJob:
     (reference generateLayeredGeoTIFF + solveColorBalance +
     blendLayeredGeoTIFF, ortho.cpp:966-2050).
 
-    GENERATE_LAYERS renders each tile ONCE: per-pixel top-5 cameras chosen
-    by blend weight from the full tile candidate set (reference picks the
+    GENERATE_LAYERS renders each tile: per-pixel top-5 cameras chosen by
+    blend weight from the full tile candidate set (reference picks the
     per-pixel closest-5 from the tile candidates, ortho.cpp:1206-1300),
     with anisotropic footprint sampling and real per-sample radiometric
-    geometry; the resulting layer stacks (Lab colors, weights, geometry,
-    camera indices) are this build's "layered GeoTIFF" — held in RAM below
-    a size threshold, spilled per tile to disk above it. BLEND_LAYERS
-    re-reads the stored layers (no second render), applies the full
-    radiometric correction (offsets + vignetting + BRDF + slope,
-    ortho.cpp:1839-1875), sigmoid transition weights, pull-push fill +
-    Laplacian blend, and streams each finished tile straight into a tiled
-    GeoTIFF (plus an optional camera-id sidecar raster), so peak memory is
-    per-tile, independent of output size.
+    geometry. Where the reference materializes the layer stacks as a
+    layered GeoTIFF on disk (ortho.cpp:966-1460) and re-reads them to
+    blend, this build RECOMPUTES them: pass 1 pulls only the strided
+    color-balance correspondence samples (~50 KB/tile instead of the
+    ~5 MB/tile full stack), and BLEND_LAYERS re-renders each tile on
+    device, feeding the layers straight into the fused correction +
+    transition + fill + Laplacian-blend kernel — the pixels never cross
+    the host link at all. On TPU the second render is cheaper than one
+    layer-stack round trip (measured 1,300 s of a 1k-survey GENERATE_LAYERS
+    was layer pulls), and no layer store means per-tile memory at ANY
+    survey size. The blended tiles stream straight into a tiled GeoTIFF
+    (plus an optional uint64 camera-id sidecar raster).
 
     Usage: job = OrthoJob(...); job.pass_layers(); job.solve_balance();
     job.pass_blend(path) — or generate_ortho_geotiff() for all at once.
@@ -682,7 +740,6 @@ class OrthoJob:
         blend_levels: int = 4,
         taps: int = 3,
         blend_transition: float = 0.05,
-        layer_store_limit_mb: float = 512.0,
     ):
         self.ok = False
         self.correspondences: List[ColorCorrespondence] = []
@@ -693,9 +750,6 @@ class OrthoJob:
         self.tile_callback = None
         self.taps = taps
         self.blend_transition = blend_transition
-        self.layer_store_limit_mb = layer_store_limit_mb
-        self._layers: Dict[int, object] = {}  # tile idx -> dict | spill path
-        self._spill_dir = None
         self._setup(surfaces, graph, model_store, geocoord, max_megapixels,
                     tile_size, cache_images, blend_levels)
 
@@ -819,53 +873,6 @@ class OrthoJob:
         self.ok = True
 
     # -- layer store ------------------------------------------------------
-
-    def _store_tile(self, idx: int, layers: dict):
-        est_mb = sum(a.nbytes for a in layers.values()) / 1e6
-        if self._spill_dir is None and (
-            (len(self._layers) + 1) * est_mb > self.layer_store_limit_mb
-        ):
-            import tempfile
-
-            self._spill_dir = tempfile.mkdtemp(prefix="oc_tpu_layers_")
-            # move what's already in RAM to disk
-            for i, v in list(self._layers.items()):
-                if isinstance(v, dict):
-                    self._layers[i] = self._spill(i, v)
-        if self._spill_dir is not None:
-            self._layers[idx] = self._spill(idx, layers)
-        else:
-            self._layers[idx] = layers
-
-    def _spill(self, idx: int, layers: dict) -> str:
-        import os
-
-        path = os.path.join(self._spill_dir, f"tile_{idx}.npz")
-        np.savez(path, **layers)
-        return path
-
-    def _load_tile(self, idx: int) -> Optional[dict]:
-        v = self._layers.get(idx)
-        if v is None:
-            return None
-        if isinstance(v, dict):
-            return v
-        with np.load(v) as z:
-            return {k: z[k] for k in z.files}
-
-    def _cleanup_store(self):
-        self._layers.clear()
-        if self._spill_dir is not None:
-            import shutil
-
-            shutil.rmtree(self._spill_dir, ignore_errors=True)
-            self._spill_dir = None
-
-    def __del__(self):
-        try:
-            self._cleanup_store()
-        except Exception:
-            pass
 
     # -- pass 1: project + layer selection --------------------------------
 
@@ -1003,9 +1010,28 @@ class OrthoJob:
             z=np.where(valid_z, z, np.nan).astype(np.float32),
         )
 
+    def _corr_dispatch(self, disp: Optional[dict]):
+        """Enqueue the device-side correspondence sampler on a freshly
+        rendered tile; returns a device dict or None."""
+        if disp is None:
+            return None
+        lcolors, lweights, lgeom, sel = disp["dev"]
+        if lweights.shape[0] < 2:
+            return None
+        s_max = self.tile_size * self.tile_size // CORR_STRIDE + 1
+        out = _corr_sample_kernel(
+            lcolors, lweights, lgeom, sel,
+            jnp.asarray(np.asarray(disp["idxs"], np.int32)),
+            jnp.asarray(disp["valid_z"]),
+            stride=CORR_STRIDE, s_max=s_max,
+        )
+        return out
+
     def pass_layers(self):
-        """GENERATE_LAYERS: render every tile once, store its layer stack,
-        collect Lab correspondences with real radiometric geometry."""
+        """GENERATE_LAYERS: render every tile on device and pull only its
+        strided Lab correspondence samples (with real radiometric
+        geometry) for the color-balance solve — the layer stacks stay on
+        device and are recomputed by the blend pass."""
         if not self.ok:
             return False
         from opencalibration_tpu.utils.performance import PerformanceMeasure
@@ -1015,19 +1041,15 @@ class OrthoJob:
 
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
 
-        def _finish(pending):
-            idx, disp = pending
-            with PerformanceMeasure("ortho: finish tile"):
-                layers = self._project_tile_finish(disp)
-            if layers is None:
+        def _finish(corr_dev):
+            if corr_dev is None:
                 return
-            with PerformanceMeasure("ortho: store tile"):
-                self._store_tile(idx, layers)
             with PerformanceMeasure("ortho: correspondences"):
-                self._collect_correspondences(layers)
+                out = jax.device_get(corr_dev)
+                self._append_correspondences(out)
 
-        # one-deep pipeline: tile N+1's kernel is enqueued on the device
-        # before tile N's results are pulled, so the pull's link RTT
+        # one-deep pipeline: tile N+1's kernels are enqueued on the device
+        # before tile N's samples are pulled, so the pull's link RTT
         # overlaps the next tile's device compute
         pending = None
         try:
@@ -1037,43 +1059,39 @@ class OrthoJob:
                     self._cache.prefetch(
                         self._tile_paths(ny_ * self._tiles_x + nx_), pool=pool
                     )
-                idx = ty * self._tiles_x + tx
                 with PerformanceMeasure("ortho: project tile"):
                     disp = self._project_tile_dispatch(tx, ty)
+                    corr_dev = self._corr_dispatch(disp)
                 if pending is not None:
                     _finish(pending)
-                pending = (idx, disp)
+                pending = corr_dev
             if pending is not None:
                 _finish(pending)
         finally:
             pool.shutdown(wait=False)
         return True
 
-    def _collect_correspondences(self, layers: dict, stride: int = 97):
-        """Lab correspondences where the two strongest layers overlap
-        (reference ortho.cpp:1324-1418), carrying each sample's real
-        normalized radius / view angle / normalized xy so vignetting,
-        BRDF and slope are identifiable in the color-balance solve."""
-        w = layers["weights"].astype(np.float32)
-        if w.shape[0] < 2:
+    def _append_correspondences(self, out: dict):
+        """Append one tile's pulled correspondence samples (reference
+        ortho.cpp:1324-1418 collects the same every-stride-th overlap
+        sample, here chosen and gathered on device)."""
+        valid = np.asarray(out["valid"], bool)
+        rows = np.flatnonzero(valid)
+        if len(rows) == 0:
             return
-        both = (w[0] > 0) & (w[1] > 0)
-        pick = np.flatnonzero(both)[::stride]
-        if len(pick) == 0:
-            return
-        colors = layers["colors"].astype(np.float32)
-        geom = layers["geom"].astype(np.float32)
-        cam = layers["cam"]
         graph, nodes = self.graph, self._nodes
-        for p in pick:
-            ia, ib = int(cam[0, p]), int(cam[1, p])
-            ga, gb = geom[0, p], geom[1, p]
+        cam_a, cam_b = out["cam_a"], out["cam_b"]
+        lab_a, lab_b = out["lab_a"], out["lab_b"]
+        geom_a, geom_b = out["geom_a"], out["geom_b"]
+        for p in rows:
+            ia, ib = int(cam_a[p]), int(cam_b[p])
+            ga, gb = geom_a[p], geom_b[p]
             self.correspondences.append(
                 ColorCorrespondence(
                     camera_id_a=nodes[ia], camera_id_b=nodes[ib],
                     model_id_a=graph.get_node(nodes[ia]).payload.model_id,
                     model_id_b=graph.get_node(nodes[ib]).payload.model_id,
-                    lab_a=colors[0, p], lab_b=colors[1, p],
+                    lab_a=lab_a[p], lab_b=lab_b[p],
                     normalized_radius_a=float(ga[0]), normalized_radius_b=float(gb[0]),
                     view_angle_a=float(ga[1]), view_angle_b=float(gb[1]),
                     normalized_x_a=float(ga[2]), normalized_y_a=float(ga[3]),
@@ -1117,20 +1135,18 @@ class OrthoJob:
                     vig[i] = v
         return off, brdf, slope, vig
 
-    def _blend_tile(self, layers: dict, th: int, tw: int, tables) -> np.ndarray:
-        return self._blend_tile_finish(
-            self._blend_tile_dispatch(layers, tables), th, tw
-        )
-
-    def _blend_tile_dispatch(self, layers: dict, tables_dev):
-        """Enqueue one tile's fused correct+transition+fill+blend kernel;
-        returns device handles (pull with _blend_tile_finish)."""
+    def _blend_tile_dispatch(self, disp: Optional[dict], tables_dev):
+        """Enqueue one freshly rendered tile's fused correct + transition
+        + fill + blend kernel; returns device handles (lab8, alpha, cam0)
+        — the layer stack never leaves the device."""
+        if disp is None:
+            return None
         off, brdf, slope, vig = tables_dev
-        return _correct_blend_kernel(
-            jnp.asarray(layers["colors"]),  # [K, P, 3] f16
-            jnp.asarray(layers["weights"]),  # [K, P] f16
-            jnp.asarray(layers["geom"]),  # [K, P, 4] f16
-            jnp.asarray(layers["cam"]),  # [K, P] int32
+        lcolors, lweights, lgeom, sel = disp["dev"]
+        return _render_blend_kernel(
+            lcolors, lweights, lgeom, sel,
+            jnp.asarray(np.asarray(disp["idxs"], np.int32)),
+            jnp.asarray(disp["valid_z"]),
             off, brdf, slope, vig,
             jnp.asarray(self.blend_transition, jnp.float32),
             ts=self.tile_size,
@@ -1139,16 +1155,25 @@ class OrthoJob:
             ),
         )
 
-    def _blend_tile_finish(self, dev, th: int, tw: int) -> np.ndarray:
-        """Pull + Lab->BGR convert + alpha + crop; returns RGBA [th, tw, 4]."""
+    def _blend_tile_finish(self, dev, th: int, tw: int, want_cam: bool):
+        """Pull + Lab->BGR convert + alpha + crop; returns
+        (RGBA [th, tw, 4], cam0 [th, tw] node-list index or None)."""
         import cv2
 
-        lab8, alpha = jax.device_get(dev)
+        lab8, alpha, cam0 = dev
+        if want_cam:
+            lab8, alpha, cam0 = jax.device_get((lab8, alpha, cam0))
+        else:
+            lab8, alpha = jax.device_get((lab8, alpha))
+            cam0 = None
         bgr = cv2.cvtColor(lab8, cv2.COLOR_Lab2BGR)
         rgba = np.concatenate(
             [bgr, np.where(alpha, 255, 0).astype(np.uint8)[..., None]], axis=2
         )
-        return rgba[:th, :tw]
+        ts = self.tile_size
+        if cam0 is not None:
+            cam0 = np.asarray(cam0).reshape(ts, ts)[:th, :tw]
+        return rgba[:th, :tw], cam0
 
     def _device_tables(self):
         off, brdf, slope, vig = self._correction_tables()
@@ -1160,10 +1185,11 @@ class OrthoJob:
         )
 
     def pass_blend(self, path: str, camera_id_path: Optional[str] = None) -> bool:
-        """BLEND_LAYERS: correct stored layers, blend, stream tiles into a
-        tiled GeoTIFF (+ optional camera-id sidecar). Peak memory is one
-        tile + overview accumulators — never the full mosaic
-        (reference streams tiles through GDAL, ortho.cpp:1665-2050)."""
+        """BLEND_LAYERS: re-render each tile on device, correct + blend it
+        in the same fused program, stream finished tiles into a tiled
+        GeoTIFF (+ optional camera-id sidecar). Peak memory is one tile +
+        overview accumulators — never the full mosaic (reference streams
+        tiles through GDAL, ortho.cpp:1665-2050)."""
         if not self.ok:
             return False
         from opencalibration_tpu.io.geotiff import GeoTiffTileWriter
@@ -1194,26 +1220,28 @@ class OrthoJob:
         ts = self.tile_size
 
         def _finish(pending):
-            k, tx, ty, layers, dev, th, tw = pending
+            k, tx, ty, dev, th, tw = pending
+            cam0 = None
             if dev is None:
                 rgba = np.zeros((th, tw, 4), np.uint8)
             else:
                 with PerformanceMeasure("ortho: blend finish"):
-                    rgba = self._blend_tile_finish(dev, th, tw)
-            with PerformanceMeasure("ortho: write tiles"):
-                writer.write_tile(tx, ty, rgba)
+                    rgba, cam0 = self._blend_tile_finish(
+                        dev, th, tw, want_cam=cam_writer is not None
+                    )
             if cam_writer is not None:
-                if layers is None:
+                if cam0 is None:
                     ids = np.zeros((th, tw), np.uint64)
                 else:
-                    best = layers["cam"][0].reshape(ts, ts)[:th, :tw]
                     covered = rgba[:, :, 3] == 255
                     ids = np.where(
                         covered,
-                        np.asarray(self._nodes, np.uint64)[best],
+                        np.asarray(self._nodes, np.uint64)[cam0],
                         np.uint64(0),
                     )
                 cam_writer.write_tile(tx, ty, ids[..., None])
+            with PerformanceMeasure("ortho: write tiles"):
+                writer.write_tile(tx, ty, rgba)
             if self.tile_callback is not None:
                 import base64
 
@@ -1232,30 +1260,34 @@ class OrthoJob:
                     )
                 )
 
-        # same one-deep pipeline as pass_layers: tile N+1's fused blend
-        # kernel is enqueued before tile N's pixels are pulled
+        # same one-deep pipeline as pass_layers: tile N+1's render+blend
+        # kernels are enqueued before tile N's pixels are pulled
+        import concurrent.futures
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         pending = None
         try:
             for k, (tx, ty) in enumerate(self._order):
-                idx = ty * self._tiles_x + tx
-                with PerformanceMeasure("ortho: load layers"):
-                    layers = self._load_tile(idx)
+                if k + 1 < len(self._order):
+                    nx_, ny_ = self._order[k + 1]
+                    self._cache.prefetch(
+                        self._tile_paths(ny_ * self._tiles_x + nx_), pool=pool
+                    )
                 tw = min(ts, self._width - tx * ts)
                 th = min(ts, self._height - ty * ts)
-                dev = None
-                if layers is not None:
-                    with PerformanceMeasure("ortho: blend dispatch"):
-                        dev = self._blend_tile_dispatch(layers, tables)
+                with PerformanceMeasure("ortho: blend dispatch"):
+                    disp = self._project_tile_dispatch(tx, ty)
+                    dev = self._blend_tile_dispatch(disp, tables)
                 if pending is not None:
                     _finish(pending)
-                pending = (k, tx, ty, layers, dev, th, tw)
+                pending = (k, tx, ty, dev, th, tw)
             if pending is not None:
                 _finish(pending)
         finally:
+            pool.shutdown(wait=False)
             writer.close()
             if cam_writer is not None:
                 cam_writer.close()
-            self._cleanup_store()
         return True
 
 

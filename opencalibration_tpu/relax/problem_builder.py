@@ -436,16 +436,20 @@ def build_mesh_problem(
                 mesh, edge_list, grid_fraction,
             )
         if track_rows:
-            nt = len(track_rows["vert_idx"])
-            for i in range(nt):
-                b_vert.append(track_rows["vert_idx"][i])
-                b_trixy.append(track_rows["tri_xy"][i])
-                b_cam.append(track_rows["cam_idx"][i])
-                b_valid.append(track_rows["ray_valid"][i])
-                mid_raw = int(track_rows["model_i"][i])
-                b_model.append(model_index.get(mid_raw, 0))
-                b_pix.append(track_rows["pixel"][i])
-                b_dir.append(track_rows["fixed_dir"][i])
+            # whole-array part (a per-row append loop here cost ~2 min of
+            # host time per 1k run: thousands of 1-row views re-stacked)
+            mi_raw = np.asarray(track_rows["model_i"], np.int64)
+            uniq, inv = np.unique(mi_raw, return_inverse=True)
+            mapped = np.asarray(
+                [model_index.get(int(v), 0) for v in uniq], np.int64
+            )[inv]
+            b_vert.append(np.asarray(track_rows["vert_idx"]))
+            b_trixy.append(np.asarray(track_rows["tri_xy"]))
+            b_cam.append(np.asarray(track_rows["cam_idx"]))
+            b_valid.append(np.asarray(track_rows["ray_valid"]))
+            b_model.append(mapped)
+            b_pix.append(np.asarray(track_rows["pixel"]))
+            b_dir.append(np.asarray(track_rows["fixed_dir"]))
 
     # ---- ONE batched device pass over every edge's inliers: per-row
     # undistort -> world rays -> 2-ray triangulation. (A per-edge loop of
@@ -639,24 +643,22 @@ def build_mesh_problem(
         if len(cand_rows):
             re = row_edge[cand_rows]
             tri = mesh.triangles[tri_idx_all2[cand_rows]]  # [K, 3]
-            b_vert.extend(tri)
-            b_trixy.extend(mesh.vertices[tri][:, :, :2])
+            b_vert.append(tri)
+            b_trixy.append(mesh.vertices[tri][:, :, :2])
             cam5 = np.zeros((len(cand_rows), 5), np.int64)
             cam5[:, 0] = src_slot[re]
             cam5[:, 1] = dst_slot[re]
-            b_cam.extend(cam5)
+            b_cam.append(cam5)
             valid5 = np.zeros((len(cand_rows), 5), bool)
             valid5[:, :2] = True
-            b_valid.extend(valid5)
-            b_model.extend(model_row[re])
+            b_valid.append(valid5)
+            b_model.append(model_row[re])
             p1k = px1_all[cand_rows]
             p2k = px2_all[cand_rows]
-            pix5 = np.stack([p1k, p2k, p1k, p1k, p1k], axis=1)
-            b_pix.extend(pix5)
+            b_pix.append(np.stack([p1k, p2k, p1k, p1k, p1k], axis=1))
             r1k = r1c_all[cand_rows]
             r2k = r2c_all[cand_rows]
-            dir5 = np.stack([r1k, r2k, r1k, r1k, r1k], axis=1)
-            b_dir.extend(dir5)
+            b_dir.append(np.stack([r1k, r2k, r1k, r1k, r1k], axis=1))
 
     _pm_filter.__exit__()
 
@@ -664,23 +666,35 @@ def build_mesh_problem(
         return None
 
     _pm_stack = PerformanceMeasure("build: stack blocks")
-    NB = len(b_vert)
+    # b_* hold a few WHOLE-ARRAY parts (tracks part + edges part), not
+    # per-row views — concatenate is O(rows) memcpy, no Python per row
+    v_all = np.concatenate(b_vert)
+    NB = len(v_all)
     nb = _bucket(NB, minimum=64)
     common = dict(
-        vert_idx=jnp.asarray(_pad_rows(np.stack(b_vert), nb), jnp.int32),
-        tri_xy=jnp.asarray(_pad_rows(np.stack(b_trixy), nb), dtype),
-        cam_idx=jnp.asarray(_pad_rows(np.stack(b_cam), nb), jnp.int32),
-        ray_valid=jnp.asarray(_pad_rows(np.stack(b_valid), nb, fill=False)),
+        vert_idx=jnp.asarray(_pad_rows(v_all, nb), jnp.int32),
+        tri_xy=jnp.asarray(_pad_rows(np.concatenate(b_trixy), nb), dtype),
+        cam_idx=jnp.asarray(_pad_rows(np.concatenate(b_cam), nb), jnp.int32),
+        ray_valid=jnp.asarray(
+            _pad_rows(np.concatenate(b_valid), nb, fill=False)
+        ),
         weight=jnp.asarray(_pad_rows(np.ones(NB), nb), dtype),
-        model_i=jnp.asarray(_pad_rows(np.asarray(b_model, np.int32), nb), jnp.int32),
+        model_i=jnp.asarray(
+            _pad_rows(np.concatenate(b_model).astype(np.int32), nb),
+            jnp.int32,
+        ),
     )
     if use_intrinsics:
         blk = B.plane_ray_block(
-            layout, pixel=jnp.asarray(_pad_rows(np.stack(b_pix), nb), dtype), **common
+            layout,
+            pixel=jnp.asarray(_pad_rows(np.concatenate(b_pix), nb), dtype),
+            **common,
         )
     else:
         blk = B.plane_ray_block(
-            layout, fixed_dir=jnp.asarray(_pad_rows(np.stack(b_dir), nb), dtype), **common
+            layout,
+            fixed_dir=jnp.asarray(_pad_rows(np.concatenate(b_dir), nb), dtype),
+            **common,
         )
 
     blocks = [blk]

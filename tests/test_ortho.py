@@ -413,25 +413,22 @@ def test_color_balance_recovers_injected_vignetting(tmp_path):
         )
 
 
-def test_ortho_streaming_blend_with_spill_and_camera_ids(tmp_path):
-    """Blend pass streams tiles (layer store spilled to disk, forced) and
-    emits the camera-id sidecar raster (reference ortho.cpp:1465-1640)."""
+def test_ortho_streaming_blend_and_camera_ids(tmp_path):
+    """Blend pass re-renders tiles on device (no layer store — pass 2
+    recomputes pass 1's stacks) and streams them plus the camera-id
+    sidecar raster (reference ortho.cpp:1465-1640)."""
     from opencalibration_tpu.io.geotiff import read_geotiff
     from opencalibration_tpu.ortho.ortho import OrthoJob
 
     surfaces, graph, model_store, _ = _vignetted_survey(tmp_path)
-    job = OrthoJob(
-        surfaces, graph, model_store, max_megapixels=1.0, taps=1,
-        layer_store_limit_mb=1.0,  # force spill-to-disk immediately
-    )
+    job = OrthoJob(surfaces, graph, model_store, max_megapixels=1.0, taps=1)
     assert job.ok
     assert job.pass_layers()
-    assert job._spill_dir is not None, "layer store should have spilled"
+    assert job.correspondences, "pass 1 must collect balance samples"
     assert job.solve_balance()
     out = str(tmp_path / "o.tif")
     camids = str(tmp_path / "o_camids.tif")
     assert job.pass_blend(out, camera_id_path=camids)
-    assert job._spill_dir is None  # cleaned up
 
     img, origin, px, _ = read_geotiff(out)
     assert img.shape[2] == 4 and (img[:, :, 3] == 255).mean() > 0.1

@@ -8,22 +8,72 @@
 # resumes from the last completed state (plus the mid-IP sidecar), and
 # bounds each attempt with `timeout` rather than killing mid-dispatch.
 #
-# Usage: tools/run_10k_chained.sh [attempts] [per-attempt-timeout-s]
+# Window policy: INITIAL_PROCESSING makes mid-state progress through the
+# sidecar, so short windows lose nothing there; the relax states rewind
+# to their start on resume, so once the checkpoint is past IP each
+# attempt gets a long window (a window shorter than the longest single
+# state would loop forever).
+#
+# Phase policy: run to FINAL_GLOBAL_RELAX first (the BASELINE config-5
+# bar), then continue the SAME checkpoint through the ortho tail.
+#
+# Usage: tools/run_10k_chained.sh [attempts] [ip-window-s] [relax-window-s]
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 ATTEMPTS="${1:-10}"
-WINDOW="${2:-3600}"
+WINDOW_IP="${2:-3600}"
+WINDOW_RELAX="${3:-10800}"
 OUT=.bench_out
 mkdir -p "$OUT"
 LOG="$OUT/bench10k.log"
 JSON="$OUT/bench10k.json"
+CKPT="$OUT/ckpt10k"
+
+state_of() {
+  python - "$CKPT" <<'PY'
+import json, os, sys
+meta = os.path.join(sys.argv[1], "metadata.json")
+try:
+    print(json.load(open(meta)).get("state", "INITIAL_PROCESSING"))
+except Exception:
+    print("INITIAL_PROCESSING")
+PY
+}
+
+probe_ok() {
+  # 8 MB upload with a hard timeout: the relay's bulk lane can hang while
+  # control RPCs still answer (bench.py::_device_data_plane_ok)
+  timeout 90 python -c "
+import numpy, jax
+jax.device_put(numpy.ones((8*1024*1024,), numpy.uint8)).block_until_ready()
+print('ok')" 2>/dev/null | grep -q ok
+}
 
 for i in $(seq 1 "$ATTEMPTS"); do
-  echo "=== attempt $i/$ATTEMPTS $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  if ! probe_ok; then
+    echo "=== attempt $i/$ATTEMPTS skipped: data plane down $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+    sleep 180
+    continue
+  fi
+  STATE=$(state_of)
+  if [ "$STATE" = "INITIAL_PROCESSING" ]; then
+    WINDOW="$WINDOW_IP"
+  else
+    WINDOW="$WINDOW_RELAX"
+  fi
+  # phase 1: calibration states only (the BASELINE config-5 bar);
+  # phase 2 (resume from a post-FGR checkpoint) adds the ortho tail
+  STOP=FINAL_GLOBAL_RELAX
+  case "$STATE" in
+    GENERATE_THUMBNAIL|DENSIFY_MESH|DENSE_MESH_RELAX|GENERATE_LAYERS|COLOR_BALANCE|BLEND_LAYERS|COMPLETE)
+      STOP="" ;;
+  esac
+  echo "=== attempt $i/$ATTEMPTS state=$STATE window=${WINDOW}s stop=${STOP:-none} $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   BENCH_E2E_ORTHO="$OUT/ortho10k" \
-  BENCH_E2E_CHECKPOINT="$OUT/ckpt10k" \
+  BENCH_E2E_CHECKPOINT="$CKPT" \
   BENCH_E2E_BATCH=256 \
+  BENCH_E2E_STOP_AFTER="$STOP" \
     timeout "$WINDOW" python bench_e2e.py 10044 >> "$JSON" 2>> "$LOG"
   rc=$?
   echo "=== attempt $i exit=$rc ===" | tee -a "$LOG"
