@@ -89,6 +89,36 @@ def _blur(img, sigma: float):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+@functools.lru_cache(maxsize=64)
+def _blur_toeplitz_stack(incs: tuple, n: int):
+    """[S, n, n] stack of 1-d blur operators (identity where inc == 0)."""
+    return np.stack([
+        _blur_toeplitz(float(inc), n) if inc > 0 else np.eye(n, dtype=np.float32)
+        for inc in incs
+    ])
+
+
+def _blur_levels(base, base_sigma: float, rels):
+    """All sublevels of one octave blurred DIRECTLY from the octave base
+    as ONE pair of batched Toeplitz matmuls: [S, B, H, W] out.
+
+    Gaussians compose (blur(base, sqrt(rel^2 - base^2)) equals the
+    incremental sublevel chain up to kernel-truncation error), so the
+    serial 4-step blur dependency becomes two batched MXU matmuls —
+    fewer, larger dispatches and no cross-sublevel data dependence."""
+    B, H, W = base.shape
+    incs = tuple(
+        math.sqrt(max(rel * rel - base_sigma * base_sigma, 0.0))
+        for rel in rels
+    )
+    Mh = jnp.asarray(_blur_toeplitz_stack(incs, H))
+    Mw = jnp.asarray(_blur_toeplitz_stack(incs, W))
+    out = jnp.einsum("sih,bhw->sbiw", Mh, base,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("sbiw,sjw->sbij", out, Mw,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 _DX = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
 _DY = _DX.T
 
@@ -361,18 +391,9 @@ def detect(images, max_features: int = 4096, threshold: float = DETECTOR_THRESHO
         Ho, Wo = base.shape[1], base.shape[2]
         if min(Ho, Wo) < 8:
             break
-        levels = []
-        rels = []
-        cur = base
-        cur_rel = BASE_SIGMA
-        for s in range(SUBLEVELS):
-            rel = BASE_SIGMA * (2.0 ** (s / SUBLEVELS))
-            if rel > cur_rel:
-                cur = _blur(cur, math.sqrt(rel * rel - cur_rel * cur_rel))
-                cur_rel = rel
-            levels.append(cur)
-            rels.append(rel)
-        Lo = jnp.stack(levels)  # [S, B, Ho, Wo]
+        rels = [BASE_SIGMA * (2.0 ** (s / SUBLEVELS)) for s in range(SUBLEVELS)]
+        Lo = _blur_levels(base, BASE_SIGMA, rels)  # [S, B, Ho, Wo]
+        cur, cur_rel = Lo[-1], rels[-1]
         # normalize with sigma_rel^4 on the decimated grid == absolute
         # sigma^4-normalized response on the original grid
         Ro = hessian_response(Lo, jnp.asarray(rels, jnp.float32))

@@ -204,3 +204,35 @@ def test_uint8_batch_matches_float():
     np.testing.assert_allclose(
         np.asarray(a["xy"]), np.asarray(b["xy"]), atol=1e-3
     )
+
+
+def test_batched_blur_matches_incremental_chain():
+    """Direct-from-base batched sublevel blurs equal the serial
+    incremental blur chain up to kernel-truncation error (Gaussians
+    compose), so the one-batched-matmul octave keeps detector math."""
+    import math
+
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops import features as F
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 96, 128)), jnp.float32)
+    base = F._blur(img, F.BASE_SIGMA)
+    rels = [
+        F.BASE_SIGMA * (2.0 ** (s / F.SUBLEVELS)) for s in range(F.SUBLEVELS)
+    ]
+    batched = F._blur_levels(base, F.BASE_SIGMA, rels)
+
+    cur, cur_rel = base, F.BASE_SIGMA
+    for s, rel in enumerate(rels):
+        if rel > cur_rel:
+            cur = F._blur(cur, math.sqrt(rel * rel - cur_rel * cur_rel))
+            cur_rel = rel
+        # border rows differ by the two paths' different effective kernel
+        # truncation against the edge clamp; the detector excludes a
+        # 16 px border, so equivalence is asserted on the interior
+        diff = float(
+            jnp.max(jnp.abs((batched[s] - cur)[:, 16:-16, 16:-16]))
+        )
+        assert diff < 1e-3, f"sublevel {s}: interior max diff {diff}"
