@@ -74,6 +74,7 @@ for i in $(seq 1 "$ATTEMPTS"); do
   BENCH_E2E_CHECKPOINT="$CKPT" \
   BENCH_E2E_BATCH=256 \
   BENCH_E2E_STOP_AFTER="$STOP" \
+  JAX_LOG_COMPILES=1 \
     timeout "$WINDOW" python bench_e2e.py 10044 >> "$JSON" 2>> "$LOG"
   rc=$?
   echo "=== attempt $i exit=$rc ===" | tee -a "$LOG"
