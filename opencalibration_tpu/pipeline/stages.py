@@ -409,19 +409,20 @@ class LinkStage:
             rel.match_idx2 = sel2[out["idx2"][m]].astype(np.int32)
             rel.match_distance = out["dist"][m].astype(np.float32)
             inl = np.where(inliers)[0]
-            order = np.argsort(
-                [int(np.where(m == i)[0][0]) if i in m else -1 for i in inl]
-            )
-            inl = inl[order]
+            # rank of each match index within the sorted match list
+            # (vectorized: the per-inlier np.where scan was O(|inl|*|m|)
+            # Python work — ~20 s/iterate of 10k-scale link finalize)
+            ranks = np.full(len(matched), -1, np.int64)
+            ranks[m] = np.arange(len(m))
+            inl = inl[np.argsort(ranks[inl])]
             ns, nd = graph.get_node(source), graph.get_node(dest)
             rel.inlier_idx1 = sel1[inl].astype(np.int32)
             rel.inlier_idx2 = sel2[out["idx2"][inl]].astype(np.int32)
             rel.inlier_pixel1 = ns.payload.features.xy[rel.inlier_idx1]
             rel.inlier_pixel2 = nd.payload.features.xy[rel.inlier_idx2]
-            match_pos = {int(mi): k for k, mi in enumerate(m)}
-            rel.inlier_match_index = np.asarray(
-                [match_pos.get(int(i), 0) for i in inl], np.int32
-            )
+            rel.inlier_match_index = np.where(
+                ranks[inl] >= 0, ranks[inl], 0
+            ).astype(np.int32)
             rel.ransac_relation = out["model"].astype(np.float64)
             rel.relation_type = RelationType.HOMOGRAPHY
             rel.rel_quats = out["quats"].astype(np.float64)
