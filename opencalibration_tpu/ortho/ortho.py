@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -233,6 +234,11 @@ def _sample_cameras_kernel(
     normalized_y) per sample — the radiometric coordinates the
     color-balance model is parameterized in (reference ortho.cpp:1324-1418
     + radiometric_cost.hpp:21-200)."""
+    # the image stack arrives uint8 Lab (half the upload/HBM of f16 at
+    # identical values — 8-bit Lab is the working convention throughout);
+    # sample in f16
+    if images.dtype != jnp.float16:
+        images = images.astype(jnp.float16)
 
     def per_cam(q, t, model, img, hw, scale, ok):
         rays = quat_rotate_inverse(q[None], points - t[None])  # [P, 3]
@@ -872,35 +878,44 @@ class OrthoJob:
         self._tiles_y = tiles_y
         self.ok = True
 
-    # -- layer store ------------------------------------------------------
-
     # -- pass 1: project + layer selection --------------------------------
 
-    def _load_lab(self, idx):
+    def _load_lab_u8(self, idx):
         import cv2
 
         node = self.graph.get_node(self._nodes[idx])
         img = self._cache.get(node.payload.path)
         if img is None:
             return None
-        return cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
+        # 8-bit Lab IS the working convention end to end (the float path
+        # casts this same uint8 Lab to float), so uint8 on device is
+        # value-exact at half the f16 upload/HBM footprint
+        return cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
 
     def _device_image(self, idx):
-        """Device-resident float16 Lab image, padded to the job-global
+        """Device-resident uint8 Lab image, padded to the job-global
         (Hmax, Wmax); returns (device_array, (h, w)) or None. LRU-bounded
-        so HBM use stays ~dev_cache_max * image bytes."""
+        by an HBM byte budget (OC_TPU_ORTHO_CACHE_MB, default 1024) —
+        dense surveys (10k images) assign dozens of candidate cameras per
+        tile, and a 16-entry cache would re-upload nearly every image for
+        every tile."""
         ent = self._dev_cache.get(idx)
         if ent is not None:
             self._dev_cache.move_to_end(idx)
             return ent
-        lab = self._load_lab(idx)
+        lab = self._load_lab_u8(idx)
         if lab is None:
             return None
         h, w = lab.shape[:2]
         if self._img_hm <= 0 or self._img_wm <= 0:
             self._img_hm, self._img_wm = h, w
+            budget = float(os.environ.get("OC_TPU_ORTHO_CACHE_MB", "1024"))
+            per_img = self._img_hm * self._img_wm * 3
+            self._dev_cache_max = max(
+                self._dev_cache_max, int(budget * 1e6 // max(per_img, 1))
+            )
         hm, wm = self._img_hm, self._img_wm
-        buf = np.zeros((hm, wm, 3), np.float16)
+        buf = np.zeros((hm, wm, 3), np.uint8)
         buf[: min(h, hm), : min(w, wm)] = lab[:hm, :wm]
         ent = (jax.device_put(buf), (min(h, hm), min(w, wm)))
         self._dev_cache[idx] = ent
