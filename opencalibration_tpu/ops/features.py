@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,44 @@ SUBLEVELS = 4
 BASE_SIGMA = 1.6
 DETECTOR_THRESHOLD = 1e-4  # on normalized Hessian response of [0,1] images
 NMS_RADIUS_PIXELS = 8.0  # reference extract_features.cpp NMS radius
+
+# Blur matmul precision. "bf16": operands truncated to bfloat16, ONE
+# native MXU pass with float32 accumulation — the fast path. "f32":
+# Precision.HIGHEST, the multi-pass float32 emulation (~6 bf16 passes
+# per matmul on TPU). The original failure mode that forced HIGHEST was
+# the INCREMENTAL 16-step blur chain, where each sublevel truncated the
+# previous sublevel's output and the storage error compounded across the
+# chain into the sigma^4-normalized detector response; since the
+# batched-Toeplitz rewrite every level is blurred directly from its
+# octave base (1-2 matmul pairs from the source pixels), so a single
+# bf16 input truncation (~2^-9 relative, and spatially smooth after the
+# blur so the Hessian's differencing cancels most of it) stays well
+# under DETECTOR_THRESHOLD. Fidelity A/B: bench_blur_precision_ab.py.
+_BLUR_PRECISION = os.environ.get("OC_TPU_BLUR_PRECISION", "bf16")
+
+
+def set_blur_precision(mode: str):
+    """'bf16' (native MXU pass, f32 accumulation) or 'f32' (HIGHEST)."""
+    global _BLUR_PRECISION
+    if mode not in ("bf16", "f32"):
+        raise ValueError(mode)
+    _BLUR_PRECISION = mode
+    jax.clear_caches()
+
+
+def _blur_einsum(spec, a, b):
+    """Einsum for the blur Toeplitz matmuls at the configured precision.
+
+    bf16 operands are cast explicitly (identical numerics on every
+    backend, including the CPU A/B) and accumulated in float32 via
+    preferred_element_type — storage precision drops, accumulation
+    precision does not."""
+    if _BLUR_PRECISION == "bf16":
+        return jnp.einsum(
+            spec, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(spec, a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.lru_cache(maxsize=256)
@@ -83,40 +122,29 @@ def _blur(img, sigma: float):
     B, H, W = img.shape
     Mh = jnp.asarray(_blur_toeplitz(float(sigma), H))
     Mw = jnp.asarray(_blur_toeplitz(float(sigma), W))
-    out = jnp.einsum("ih,bhw->biw", Mh, img,
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("bhw,jw->bhj", out, Mw,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
-@functools.lru_cache(maxsize=64)
-def _blur_toeplitz_stack(incs: tuple, n: int):
-    """[S, n, n] stack of 1-d blur operators (identity where inc == 0)."""
-    return np.stack([
-        _blur_toeplitz(float(inc), n) if inc > 0 else np.eye(n, dtype=np.float32)
-        for inc in incs
-    ])
+    out = _blur_einsum("ih,bhw->biw", Mh, img)
+    return _blur_einsum("bhw,jw->bhj", out, Mw)
 
 
 def _blur_levels(base, base_sigma: float, rels):
     """All sublevels of one octave blurred DIRECTLY from the octave base
-    as ONE pair of batched Toeplitz matmuls: [S, B, H, W] out.
+    (Gaussians compose: blur(base, sqrt(rel^2 - base^2)) equals the
+    incremental sublevel chain up to kernel-truncation error), so there
+    is no cross-sublevel data dependence: [S, B, H, W] out.
 
-    Gaussians compose (blur(base, sqrt(rel^2 - base^2)) equals the
-    incremental sublevel chain up to kernel-truncation error), so the
-    serial 4-step blur dependency becomes two batched MXU matmuls —
-    fewer, larger dispatches and no cross-sublevel data dependence."""
+    Deliberately one PAIR of 3-d einsums per sublevel rather than a
+    single batched [S,H,H]x[B,H,W] 4-d einsum: inside the fused jit the
+    dispatch count is identical, and the 4-d form's [S,B,H,W]
+    intermediate invites a layout with the small S/B dims minormost —
+    observed tiled-padded 16x to 14.65 GB on v5e (compile-time HBM OOM
+    at B=8), and the pathological layout propagates into the NMS
+    reduce_window downstream."""
     B, H, W = base.shape
-    incs = tuple(
-        math.sqrt(max(rel * rel - base_sigma * base_sigma, 0.0))
-        for rel in rels
-    )
-    Mh = jnp.asarray(_blur_toeplitz_stack(incs, H))
-    Mw = jnp.asarray(_blur_toeplitz_stack(incs, W))
-    out = jnp.einsum("sih,bhw->sbiw", Mh, base,
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("sbiw,sjw->sbij", out, Mw,
-                      precision=jax.lax.Precision.HIGHEST)
+    outs = []
+    for rel in rels:
+        inc = math.sqrt(max(rel * rel - base_sigma * base_sigma, 0.0))
+        outs.append(_blur(base, inc) if inc > 0 else base)
+    return jnp.stack(outs)
 
 
 _DX = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
@@ -251,22 +279,29 @@ def scale_space(images, diffusion: str = "gaussian"):
 def hessian_response(L, sigmas):
     """Scale-normalized determinant of Hessian per level.
 
-    Two fused multi-channel convs per level (L -> [Lx, Ly] ->
-    [Lxx, Lxy, Lyy]) replace five sequential single-channel convs —
-    identical math (same kernels, same edge padding), ~2.4x fewer HBM
-    passes over the full-resolution level stack."""
+    Two fused multi-channel convs (L -> [Lx, Ly] -> [Lxx, Lxy, Lyy])
+    replace five sequential single-channel convs — identical math (same
+    kernels, same edge padding), ~2.4x fewer HBM passes over the
+    full-resolution level stack.
+
+    The [S, B] leading dims are collapsed to ONE batch dim before the
+    convs: a vmap-over-levels [S, B, C, H, W] intermediate lets the TPU
+    layout assigner put the small S/B dims minormost and tile-pad them
+    (observed (4,128)-tiling a 937 MB hessian buffer 16x to 14.65 GB —
+    compile-time HBM OOM on v5e). With [(S*B), C, H, W] only the large
+    spatial dims can land in the tiled minor positions."""
+    S, B, H, W = L.shape
     k1 = jnp.stack([_DX, _DY])[:, None]  # [2, 1, 3, 3]
     # grouped second stage: from Lx take (ddx, ddy) = (Lxx, Lxy); from Ly
     # take (ddx, ddy) = (Lyx, Lyy); Lxy == Lyx so Lyx is unused
     k2 = jnp.stack([_DX, _DY, _DX, _DY])[:, None]  # [4, 1, 3, 3], groups=2
 
-    def one_level(img, sigma):
-        g = _conv3_multi(img[:, None], k1)  # [B, 2, H, W]
-        h = _conv3_multi(g, k2, groups=2)  # [B, 4, H, W]
-        Lxx, Lxy, Lyy = h[:, 0], h[:, 1], h[:, 3]
-        return (sigma**4) * (Lxx * Lyy - Lxy * Lxy)
-
-    return jax.vmap(one_level)(L, sigmas)
+    flat = L.reshape(S * B, 1, H, W)
+    g = _conv3_multi(flat, k1)  # [S*B, 2, H, W]
+    h = _conv3_multi(g, k2, groups=2)  # [S*B, 4, H, W]
+    Lxx, Lxy, Lyy = h[:, 0], h[:, 1], h[:, 3]
+    det = (Lxx * Lyy - Lxy * Lxy).reshape(S, B, H, W)
+    return (sigmas.astype(det.dtype)[:, None, None, None] ** 4) * det
 
 
 # TPU top-k recall: 1.0 keeps the fast PartialReduce algorithm (still much
@@ -305,9 +340,21 @@ def _candidates_from_levels(Rb, threshold, border, k, step):
     arrays (xy in ORIGINAL pixels, strength, level-in-stack, valid).
     """
     B, S, H, W = Rb.shape
-    m = jax.lax.reduce_window(
-        Rb, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
-    )
+    # 3x3x3 (scale, y, x) max pool, decomposed: 2-d spatial reduce_window
+    # on a collapsed [(B*S), H, W] batch (keeps the large spatial dims in
+    # the tiled minor layout positions — a 4-d [B, S, H, W] reduce_window
+    # lets the layout assigner tile-pad the small B/S dims 16x, which
+    # OOMs HBM at compile time on v5e), then the scale-axis max of each
+    # level's spatial max via shifted slices. max is associative so the
+    # decomposition is exact.
+    m2 = jax.lax.reduce_window(
+        Rb.reshape(B * S, H, W), -jnp.inf, jax.lax.max,
+        (1, 3, 3), (1, 1, 1), "SAME",
+    ).reshape(B, S, H, W)
+    neg = jnp.full((B, 1, H, W), -jnp.inf, Rb.dtype)
+    lo = jnp.concatenate([neg, m2[:, :-1]], axis=1)
+    hi = jnp.concatenate([m2[:, 1:], neg], axis=1)
+    m = jnp.maximum(m2, jnp.maximum(lo, hi))
     is_peak = (Rb >= m) & (Rb > threshold)
     yy = jnp.arange(H)
     xx = jnp.arange(W)
@@ -327,12 +374,15 @@ def _candidates_from_levels(Rb, threshold, border, k, step):
     # subpixel: 2d quadratic fit on the 3x3 neighborhood (AKAZE-equivalent;
     # integer-grid keypoints cost ~0.3px RMS measurement noise straight in
     # BA pose error)
-    bi = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(k, 1)
     yc = jnp.clip(yi, 1, H - 2)
     xc = jnp.clip(xi, 1, W - 2)
+    # gather from the flattened [B, S*H*W] view: a 4-d gather operand is
+    # another place the layout assigner may tile-pad the small B/S dims
+    Rf = Rb.reshape(B, S * H * W)
+    base_idx = lvl * (H * W) + yc * W + xc
 
     def n(dy, dx):
-        return Rb[bi, lvl, yc + dy, xc + dx]
+        return jnp.take_along_axis(Rf, base_idx + (dy * W + dx), axis=1)
 
     dx = 0.5 * (n(0, 1) - n(0, -1))
     dy = 0.5 * (n(1, 0) - n(-1, 0))

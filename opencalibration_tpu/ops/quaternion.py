@@ -1,8 +1,17 @@
-"""Quaternion algebra as pure jnp functions (wxyz convention).
+"""Quaternion algebra (wxyz convention), numpy/jnp-polymorphic.
 
 All functions broadcast over leading batch dimensions and are safe under
 ``jax.vmap`` / ``jax.grad``. Quaternions are arrays ``[..., 4]`` laid out as
 ``(w, x, y, z)``.
+
+Polymorphism: every function computes with numpy when ALL inputs are
+host (numpy/python) values and with jnp otherwise. Host callers — the
+relax problem builders assemble rotation data with concrete numpy arrays
+every pipeline iterate — would otherwise pay an eager-XLA compile per
+new input shape (~0.5 s each through a remote-device compiler; measured
+100+ op-by-op compiles per INITIAL_PROCESSING iterate at 10k-image
+scale). numpy 2.x (NEP 50) keeps float32 under python-scalar ufuncs, so
+both paths produce identical dtypes.
 
 Replaces Eigen::Quaternion usage in the reference (e.g. cost functors in
 reference include/opencalibration/relax/relax_cost_function.hpp).
@@ -10,7 +19,17 @@ reference include/opencalibration/relax/relax_cost_function.hpp).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _ns(*xs):
+    """numpy when every argument is a host value, else jnp."""
+    for x in xs:
+        if isinstance(x, (jax.core.Tracer, jax.Array)):
+            return jnp
+    return np
 
 
 def quat_identity(dtype=jnp.float32):
@@ -18,18 +37,20 @@ def quat_identity(dtype=jnp.float32):
 
 
 def quat_normalize(q, eps=1e-30):
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    xp = _ns(q)
+    n = xp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / xp.maximum(n, eps)
 
 
 def quat_conjugate(q):
-    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    return q * _ns(q).asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
 def quat_inverse(q):
     """Inverse of a (not necessarily unit) quaternion."""
-    return quat_conjugate(q) / jnp.maximum(
-        jnp.sum(q * q, axis=-1, keepdims=True), 1e-30
+    xp = _ns(q)
+    return quat_conjugate(q) / xp.maximum(
+        xp.sum(q * q, axis=-1, keepdims=True), 1e-30
     )
 
 
@@ -37,7 +58,7 @@ def quat_multiply(a, b):
     """Hamilton product a*b."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack(
+    return _ns(a, b).stack(
         [
             aw * bw - ax * bx - ay * by - az * bz,
             aw * bx + ax * bw + ay * bz - az * by,
@@ -53,10 +74,11 @@ def quat_rotate(q, v):
 
     Uses v' = v + 2*w*(u x v) + 2*(u x (u x v)) with u = q.xyz.
     """
+    xp = _ns(q, v)
     u = q[..., 1:]
     w = q[..., :1]
-    uv = jnp.cross(u, v)
-    uuv = jnp.cross(u, uv)
+    uv = xp.cross(u, v)
+    uuv = xp.cross(u, uv)
     return v + 2.0 * (w * uv + uuv)
 
 
@@ -66,11 +88,12 @@ def quat_rotate_inverse(q, v):
 
 
 def quat_from_axis_angle(axis, angle):
-    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
+    xp = _ns(axis, angle)
+    axis = axis / xp.maximum(xp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
     half = 0.5 * angle
-    s = jnp.sin(half)
-    w = jnp.cos(half)
-    return jnp.concatenate([w[..., None], axis * s[..., None]], axis=-1)
+    s = xp.sin(half)
+    w = xp.cos(half)
+    return xp.concatenate([w[..., None], axis * s[..., None]], axis=-1)
 
 
 def quat_exp(v):
@@ -78,26 +101,28 @@ def quat_exp(v):
 
     quat_exp(v) rotates by angle ||v|| around v. Safe at v = 0.
     """
-    theta2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
+    xp = _ns(v)
+    theta2 = xp.sum(v * v, axis=-1, keepdims=True)
+    theta = xp.sqrt(xp.maximum(theta2, 1e-30))
     half = 0.5 * theta
     # sin(t/2)/t with series fallback near zero: 0.5 - t^2/48
     small = theta2 < 1e-12
-    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
-    w = jnp.where(small[..., 0], 1.0 - theta2[..., 0] / 8.0, jnp.cos(half[..., 0]))
-    return jnp.concatenate([w[..., None], v * k], axis=-1)
+    k = xp.where(small, 0.5 - theta2 / 48.0, xp.sin(half) / theta)
+    w = xp.where(small[..., 0], 1.0 - theta2[..., 0] / 8.0, xp.cos(half[..., 0]))
+    return xp.concatenate([w[..., None], v * k], axis=-1)
 
 
 def quat_log(q):
     """Log map: unit quaternion -> tangent 3-vector (inverse of quat_exp)."""
+    xp = _ns(q)
     q = quat_normalize(q)
     # force w >= 0 for the short geodesic
-    q = q * jnp.sign(jnp.where(q[..., :1] == 0, 1.0, q[..., :1]))
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    q = q * xp.sign(xp.where(q[..., :1] == 0, 1.0, q[..., :1]))
+    vn = xp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
     w = q[..., :1]
-    angle = 2.0 * jnp.arctan2(vn, w)
+    angle = 2.0 * xp.arctan2(vn, w)
     small = vn[..., 0] < 1e-12
-    k = jnp.where(small[..., None], 2.0 / jnp.maximum(w, 1e-30), angle / jnp.maximum(vn, 1e-30))
+    k = xp.where(small[..., None], 2.0 / xp.maximum(w, 1e-30), angle / xp.maximum(vn, 1e-30))
     return q[..., 1:] * k
 
 
@@ -108,17 +133,19 @@ def quat_angle(q):
     reference only uses this as a residual near zero (e.g.
     reference include/opencalibration/relax/relax_cost_function.hpp:235).
     """
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1)
-    return 2.0 * jnp.arctan2(vn, jnp.abs(q[..., 0]))
+    xp = _ns(q)
+    vn = xp.linalg.norm(q[..., 1:], axis=-1)
+    return 2.0 * xp.arctan2(vn, xp.abs(q[..., 0]))
 
 
 def quat_to_matrix(q):
     """Unit quaternion -> 3x3 rotation matrix, shape [..., 3, 3]."""
+    xp = _ns(q)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
     wx, wy, wz = w * x, w * y, w * z
-    m = jnp.stack(
+    m = xp.stack(
         [
             1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
             2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
@@ -136,6 +163,7 @@ def quat_from_matrix(m):
     largest diagonal combination, so it is stable for every rotation and
     differentiable almost everywhere.
     """
+    xp = _ns(m)
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
@@ -146,21 +174,25 @@ def quat_from_matrix(m):
     tz = 1.0 - m00 - m11 + m22
 
     def safe_sqrt(t):
-        return jnp.sqrt(jnp.maximum(t, 1e-30))
+        return xp.sqrt(xp.maximum(t, 1e-30))
 
     # candidate keyed on w
-    qw = jnp.stack([tw, m21 - m12, m02 - m20, m10 - m01], axis=-1) / (2.0 * safe_sqrt(tw))[..., None]
-    qx = jnp.stack([m21 - m12, tx, m01 + m10, m02 + m20], axis=-1) / (2.0 * safe_sqrt(tx))[..., None]
-    qy = jnp.stack([m02 - m20, m01 + m10, ty, m12 + m21], axis=-1) / (2.0 * safe_sqrt(ty))[..., None]
-    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, tz], axis=-1) / (2.0 * safe_sqrt(tz))[..., None]
+    qw = xp.stack([tw, m21 - m12, m02 - m20, m10 - m01], axis=-1) / (2.0 * safe_sqrt(tw))[..., None]
+    qx = xp.stack([m21 - m12, tx, m01 + m10, m02 + m20], axis=-1) / (2.0 * safe_sqrt(tx))[..., None]
+    qy = xp.stack([m02 - m20, m01 + m10, ty, m12 + m21], axis=-1) / (2.0 * safe_sqrt(ty))[..., None]
+    qz = xp.stack([m10 - m01, m02 + m20, m12 + m21, tz], axis=-1) / (2.0 * safe_sqrt(tz))[..., None]
 
-    t = jnp.stack([tw, tx, ty, tz], axis=-1)
-    best = jnp.argmax(t, axis=-1)
-    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # [..., 4 candidates, 4]
-    q = jnp.take_along_axis(cands, best[..., None, None].astype(jnp.int32).repeat(4, axis=-1), axis=-2)[..., 0, :]
+    t = xp.stack([tw, tx, ty, tz], axis=-1)
+    best = xp.argmax(t, axis=-1)
+    cands = xp.stack([qw, qx, qy, qz], axis=-2)  # [..., 4 candidates, 4]
+    idx = best[..., None, None].astype(xp.int32)
+    if xp is np:
+        q = xp.take_along_axis(cands, np.repeat(idx, 4, axis=-1), axis=-2)[..., 0, :]
+    else:
+        q = xp.take_along_axis(cands, idx.repeat(4, axis=-1), axis=-2)[..., 0, :]
     q = quat_normalize(q)
     # canonical sign: w >= 0
-    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    return q * xp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
 def quat_boxplus(q, delta):
@@ -179,7 +211,8 @@ def angle_between_unit_vectors(n1, n2):
     as atan2(|n1 x n2|, n1.n2): numerically stable near 0 and pi, with
     bounded gradients (acos' derivative blows up near parallel vectors and
     stalls LM; the atan2 form gives the true geometric derivative)."""
-    d = jnp.sum(n1 * n2, axis=-1)
-    c = jnp.cross(n1, n2)
-    s = jnp.sqrt(jnp.maximum(jnp.sum(c * c, axis=-1), 1e-30))
-    return jnp.arctan2(s, d)
+    xp = _ns(n1, n2)
+    d = xp.sum(n1 * n2, axis=-1)
+    c = xp.cross(n1, n2)
+    s = xp.sqrt(xp.maximum(xp.sum(c * c, axis=-1), 1e-30))
+    return xp.arctan2(s, d)

@@ -211,10 +211,10 @@ def build_group_batch(
             # correct on cached-plan reuse with several camera models
             b.params = dataclasses.replace(
                 b.params,
-                focal=jnp.asarray(leaves["focal"], dt),
-                principal=jnp.asarray(leaves["principal"], dt),
-                radial=jnp.asarray(leaves["radial"], dt),
-                tangential=jnp.asarray(leaves["tangential"], dt),
+                focal=np.asarray(leaves["focal"], dt),
+                principal=np.asarray(leaves["principal"], dt),
+                radial=np.asarray(leaves["radial"], dt),
+                tangential=np.asarray(leaves["tangential"], dt),
             )
             padded.append(_pad_params(b.params, C, V, P, M))
     else:
@@ -222,8 +222,11 @@ def build_group_batch(
         padded = [_pad_params(b.params, C, V, P, M) for b in builts]
     layout = TangentLayout(C, V, P, M)
 
-    params = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-    free = jnp.asarray(
+    # numpy stacking: this is host orchestration — the stacked pytree
+    # crosses into XLA at the jitted group-solve boundary, and eager
+    # jnp.stack here costs an XLA compile per new (G, ...) shape
+    params = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *padded)
+    free = (
         np.stack(
             [
                 _translate_mask(b.free_mask, b.layout, layout, model_perms[i])
@@ -349,8 +352,11 @@ def refresh_group_batch(batch: GroupBatch) -> GroupBatch:
         _pad_params(b.params, layout.C, layout.V, layout.P, layout.M)
         for b in builts
     ]
-    params = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
-    free = jnp.asarray(
+    # numpy stacking: this is host orchestration — the stacked pytree
+    # crosses into XLA at the jitted group-solve boundary, and eager
+    # jnp.stack here costs an XLA compile per new (G, ...) shape
+    params = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *padded)
+    free = (
         np.stack(
             [
                 _translate_mask(b.free_mask, b.layout, layout, perms[i])
@@ -418,13 +424,15 @@ def _solve_batch(params, blocks, free, surface_free, layout, pre_solve,
 
 
 def _duplicate_group(tree, src: int, times: int):
-    """Append `times` copies of group `src` along axis 0 of every leaf."""
-    return jax.tree.map(
-        lambda x: jnp.concatenate(
-            [x] + [x[src : src + 1]] * times, axis=0
-        ),
-        tree,
-    )
+    """Append `times` copies of group `src` along axis 0 of every leaf.
+
+    Host-path helper: numpy-concatenate numpy leaves (eager jnp here
+    costs an XLA compile per new pad count), jnp for device leaves."""
+    def dup(x):
+        xp = np if isinstance(x, np.ndarray) else jnp
+        return xp.concatenate([x] + [x[src : src + 1]] * times, axis=0)
+
+    return jax.tree.map(dup, tree)
 
 
 def solve_group_batch(
@@ -465,12 +473,12 @@ def solve_group_batch(
         params = _duplicate_group(params, 0, pad)
         blocks = _duplicate_group(blocks, 0, pad)
         # padded replicas are fully frozen: they no-op in 1 iteration
-        frozen = jnp.zeros((pad, batch.layout.dim), bool)
-        free = jnp.concatenate([free, frozen])
-        surface_free = jnp.concatenate([surface_free, frozen])
+        frozen = np.zeros((pad, batch.layout.dim), bool)
+        free = np.concatenate([np.asarray(free), frozen])
+        surface_free = np.concatenate([np.asarray(surface_free), frozen])
         if init_lambda is not None:
-            init_lambda = jnp.concatenate(
-                [init_lambda, jnp.ones(pad, init_lambda.dtype)]
+            init_lambda = np.concatenate(
+                [np.asarray(init_lambda), np.ones(pad, np.asarray(init_lambda).dtype)]
             )
     lam0 = (
         None
@@ -808,9 +816,9 @@ def solve_group_batch_shared(
             dataclasses.replace(b, weight=b.weight.at[G:].set(0.0))
             for b in blocks
         )
-        frozen = jnp.zeros((pad, layout.dim), bool)
-        free = jnp.concatenate([free, frozen])
-        surface_free = jnp.concatenate([surface_free, frozen])
+        frozen = np.zeros((pad, layout.dim), bool)
+        free = np.concatenate([np.asarray(free), frozen])
+        surface_free = np.concatenate([np.asarray(surface_free), frozen])
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     mesh = Mesh(np.asarray(devices[:D]), ("groups",))
@@ -838,11 +846,11 @@ def solve_group_batch_shared(
     lam_l0, lam_s0 = None, 1.0
     if batch.warm_lambda is not None and batch.warm_lambda[1] is not None:
         wl, ws = batch.warm_lambda
-        lam_s0 = jnp.clip(jnp.asarray(ws), 1e-6, 1e2)
+        lam_s0 = np.clip(np.asarray(ws), 1e-6, 1e2)
         if wl is not None:
-            wl = jnp.clip(jnp.asarray(wl), 1e-6, 1e2)
+            wl = np.clip(np.asarray(wl), 1e-6, 1e2)
             if pad:
-                wl = jnp.concatenate([wl, jnp.ones(pad, wl.dtype)])
+                wl = np.concatenate([wl, np.ones(pad, wl.dtype)])
             lam_l0 = jax.device_put(
                 wl.astype(batch.params.quats.dtype), sh
             )

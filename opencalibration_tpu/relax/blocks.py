@@ -28,6 +28,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from opencalibration_tpu.ops.distort import image_from_3d, image_to_3d
 from opencalibration_tpu.ops.intersection import (
@@ -48,6 +49,20 @@ from opencalibration_tpu.relax.tangent import RelaxParams, TangentLayout
 from opencalibration_tpu.types.camera import FORWARD, INVERSE, CameraModel
 
 ROBUST_CENTROID_MAX_POINTS = 5  # reference relax_cost_function.hpp:71
+
+
+def _xp(*xs):
+    """numpy for host-side block construction, jnp under tracing.
+
+    The block CONSTRUCTORS run on host problem-build paths with concrete
+    numpy inputs; eager jnp there costs an XLA compile per new block
+    shape — at 10k scale, fresh remote compiles on every pipeline
+    iterate as the graph grows. The residual functions always trace
+    under jit and stay jnp."""
+    for x in xs:
+        if isinstance(x, (jax.core.Tracer, jax.Array)):
+            return jnp
+    return np
 
 
 @jax.tree_util.register_dataclass
@@ -161,7 +176,7 @@ def decomposed_rotation_block(
     weight,
     huber_delta: float | None = 10.0 * jnp.pi / 180,  # reference relax_problem.cpp:44
 ) -> BlockSpec:
-    slots = jnp.concatenate(
+    slots = _xp(cam_i).concatenate(
         [layout.rot_slots(cam_i), layout.rot_slots(cam_j)], axis=-1
     )
     data = dict(
@@ -190,8 +205,9 @@ def _downwards_resid(delta, d, params: RelaxParams):
 
 
 def downwards_prior_block(layout: TangentLayout, cam_i, weight, prior_weight=1e-3):
-    dtype = jnp.asarray(weight).dtype
-    data = dict(cam_i=cam_i, w=jnp.full(cam_i.shape, prior_weight, dtype))
+    xp = _xp(cam_i, weight)
+    dtype = xp.asarray(weight).dtype
+    data = dict(cam_i=cam_i, w=xp.full(cam_i.shape, prior_weight, dtype))
     return BlockSpec(
         slots=layout.rot_slots(cam_i).astype(jnp.int32), data=data, weight=weight,
         resid_one=_downwards_resid, num_residuals=1, name="downwards_prior",
@@ -225,7 +241,7 @@ def pixel_error_block(
     layout: TangentLayout, cam_i, point_i, model_i, pixel, weight,
     huber_delta: float | None = 10.0,  # reference relax_problem.cpp:129
 ) -> BlockSpec:
-    slots = jnp.concatenate(
+    slots = _xp(cam_i, point_i).concatenate(
         [
             layout.rot_slots(cam_i),
             layout.point_slots(point_i),
@@ -318,10 +334,11 @@ def plane_ray_block(
 ) -> BlockSpec:
     use_intrinsics = fixed_dir is None
     B = vert_idx.shape[0]
+    xp = _xp(vert_idx, cam_idx)
     if model_i is None:
-        model_i = jnp.zeros(B, jnp.int32)
+        model_i = xp.zeros(B, jnp.int32)
     rot_slots = layout.rot_slots(cam_idx).reshape(B, MAX_TRACK_RAYS * 3)
-    slots = jnp.concatenate(
+    slots = xp.concatenate(
         [
             layout.mesh_slot(vert_idx[:, 0]),
             layout.mesh_slot(vert_idx[:, 1]),
@@ -363,12 +380,13 @@ def _difference_resid(delta, d, params: RelaxParams):
 
 def mesh_flat_block(layout: TangentLayout, v_i, v_j, weight, prior_weight=1e-4):
     """DifferenceCost between adjacent mesh z (relax_problem.cpp:1305-1323)."""
-    dtype = jnp.asarray(weight).dtype
-    slots = jnp.concatenate([layout.mesh_slot(v_i), layout.mesh_slot(v_j)], axis=-1)
+    xp = _xp(v_i, v_j, weight)
+    dtype = xp.asarray(weight).dtype
+    slots = xp.concatenate([layout.mesh_slot(v_i), layout.mesh_slot(v_j)], axis=-1)
     data = dict(
-        v_i=v_i, v_j=v_j, target=jnp.zeros(v_i.shape, dtype),
-        target_is_vertex=jnp.ones(v_i.shape, bool),
-        w=jnp.full(v_i.shape, prior_weight, dtype),
+        v_i=v_i, v_j=v_j, target=xp.zeros(v_i.shape, dtype),
+        target_is_vertex=xp.ones(v_i.shape, bool),
+        w=xp.full(v_i.shape, prior_weight, dtype),
     )
     return BlockSpec(
         slots=slots.astype(jnp.int32), data=data, weight=weight,
@@ -378,12 +396,13 @@ def mesh_flat_block(layout: TangentLayout, v_i, v_j, weight, prior_weight=1e-4):
 
 def mesh_anchor_block(layout: TangentLayout, v_i, z0, weight, prior_weight=1e-5):
     """Anchor each mesh z to its initial value (relax_problem.cpp:1325-1340)."""
-    dtype = jnp.asarray(z0).dtype
-    slots = jnp.concatenate([layout.mesh_slot(v_i), layout.mesh_slot(v_i)], axis=-1)
+    xp = _xp(v_i, z0, weight)
+    dtype = xp.asarray(z0).dtype
+    slots = xp.concatenate([layout.mesh_slot(v_i), layout.mesh_slot(v_i)], axis=-1)
     data = dict(
-        v_i=v_i, v_j=v_i, target=jnp.asarray(z0, dtype),
-        target_is_vertex=jnp.zeros(v_i.shape, bool),
-        w=jnp.full(v_i.shape, prior_weight, dtype),
+        v_i=v_i, v_j=v_i, target=xp.asarray(z0, dtype),
+        target_is_vertex=xp.zeros(v_i.shape, bool),
+        w=xp.full(v_i.shape, prior_weight, dtype),
     )
     return BlockSpec(
         slots=slots.astype(jnp.int32), data=data, weight=weight,
@@ -423,14 +442,15 @@ def mesh_smooth_block(
     layout: TangentLayout, vA, vB, vC, vD, xyA, xyB, xyC, xyD, weight, prior_weight=1e-4
 ):
     """AdjacentTriangleNormalCost (relax_cost_function.hpp:119-155)."""
-    dtype = jnp.asarray(xyA).dtype
-    slots = jnp.concatenate(
+    xp = _xp(vA, xyA, weight)
+    dtype = xp.asarray(xyA).dtype
+    slots = xp.concatenate(
         [layout.mesh_slot(vA), layout.mesh_slot(vB), layout.mesh_slot(vC), layout.mesh_slot(vD)],
         axis=-1,
     )
     data = dict(
         vA=vA, vB=vB, vC=vC, vD=vD, xyA=xyA, xyB=xyB, xyC=xyC, xyD=xyD,
-        w=jnp.full(vA.shape, prior_weight, dtype),
+        w=xp.full(vA.shape, prior_weight, dtype),
     )
     return BlockSpec(
         slots=slots.astype(jnp.int32), data=data, weight=weight,

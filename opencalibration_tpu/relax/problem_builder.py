@@ -173,7 +173,7 @@ def build_decomposition_problem(
         return None
     layout = TangentLayout(len(quats), 0, 0, 1)
     params = RelaxParams.create(
-        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype), dtype=dtype
+        np.asarray(quats, dtype), np.asarray(positions, dtype), dtype=dtype
     )
 
     ci, cj, RQ, RT, RS, RV = [], [], [], [], [], []
@@ -201,26 +201,28 @@ def build_decomposition_problem(
     if not ci:
         return None
 
+    # numpy end-to-end: block data crosses into XLA at the jitted solve
+    # boundary; eager jnp here costs op-by-op compiles per new bucket
     nb = _bucket(len(ci))
     blk = B.decomposed_rotation_block(
         layout,
-        jnp.asarray(_pad_rows(np.asarray(ci, np.int32), nb), jnp.int32),
-        jnp.asarray(_pad_rows(np.asarray(cj, np.int32), nb), jnp.int32),
-        jnp.asarray(_pad_rows(np.stack(RQ), nb), dtype),
-        jnp.asarray(_pad_rows(np.stack(RT), nb), dtype),
-        jnp.asarray(_pad_rows(np.stack(RS), nb), dtype),
-        jnp.asarray(_pad_rows(np.stack(RV), nb, fill=False)),
-        jnp.asarray(_pad_rows(np.ones(len(ci)), nb), dtype),
+        _pad_rows(np.asarray(ci, np.int32), nb),
+        _pad_rows(np.asarray(cj, np.int32), nb),
+        np.asarray(_pad_rows(np.stack(RQ), nb), dtype),
+        np.asarray(_pad_rows(np.stack(RT), nb), dtype),
+        np.asarray(_pad_rows(np.stack(RS), nb), dtype),
+        _pad_rows(np.stack(RV), nb, fill=False),
+        np.asarray(_pad_rows(np.ones(len(ci)), nb), dtype),
     )
     down = B.downwards_prior_block(
         layout,
-        jnp.arange(len(quats), dtype=jnp.int32),
-        jnp.asarray(opt, dtype),
+        np.arange(len(quats), dtype=np.int32),
+        np.asarray(opt, dtype),
     )
-    free = layout.build_free_mask(rot_free=jnp.asarray(opt))
+    free = layout.build_free_mask(rot_free=np.asarray(opt))
     return BuiltProblem(
         params=params, layout=layout, blocks=[blk, down], free_mask=free,
-        surface_free_mask=jnp.zeros_like(free), cam_index=cam_index,
+        surface_free_mask=np.zeros_like(free), cam_index=cam_index,
         model_index={}, mesh=None, inverse_models=False,
         track_points=np.zeros((0, 3)), track_errors=np.zeros(0),
         kind="decomposition", num_opt=len(node_poses), v_real=0,
@@ -410,10 +412,10 @@ def build_mesh_problem(
         if inv_models else np.zeros((1, 2))
     )
     params = RelaxParams.create(
-        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype),
-        mesh_z=jnp.asarray(mesh_z0, dtype),
-        focal=jnp.asarray(focal, dtype), principal=jnp.asarray(principal, dtype),
-        radial=jnp.asarray(radial, dtype), tangential=jnp.asarray(tangential, dtype),
+        np.asarray(quats, dtype), np.asarray(positions, dtype),
+        mesh_z=np.asarray(mesh_z0, dtype),
+        focal=np.asarray(focal, dtype), principal=np.asarray(principal, dtype),
+        radial=np.asarray(radial, dtype), tangential=np.asarray(tangential, dtype),
     )
 
     # ---- per-edge measurements: grid filter + triangle assignment
@@ -672,35 +674,33 @@ def build_mesh_problem(
     NB = len(v_all)
     nb = _bucket(NB, minimum=64)
     common = dict(
-        vert_idx=jnp.asarray(_pad_rows(v_all, nb), jnp.int32),
-        tri_xy=jnp.asarray(_pad_rows(np.concatenate(b_trixy), nb), dtype),
-        cam_idx=jnp.asarray(_pad_rows(np.concatenate(b_cam), nb), jnp.int32),
-        ray_valid=jnp.asarray(
-            _pad_rows(np.concatenate(b_valid), nb, fill=False)
-        ),
-        weight=jnp.asarray(_pad_rows(np.ones(NB), nb), dtype),
-        model_i=jnp.asarray(
+        vert_idx=np.asarray(_pad_rows(v_all, nb), np.int32),
+        tri_xy=np.asarray(_pad_rows(np.concatenate(b_trixy), nb), dtype),
+        cam_idx=np.asarray(_pad_rows(np.concatenate(b_cam), nb), np.int32),
+        ray_valid=_pad_rows(np.concatenate(b_valid), nb, fill=False),
+        weight=np.asarray(_pad_rows(np.ones(NB), nb), dtype),
+        model_i=np.asarray(
             _pad_rows(np.concatenate(b_model).astype(np.int32), nb),
-            jnp.int32,
+            np.int32,
         ),
     )
     if use_intrinsics:
         blk = B.plane_ray_block(
             layout,
-            pixel=jnp.asarray(_pad_rows(np.concatenate(b_pix), nb), dtype),
+            pixel=np.asarray(_pad_rows(np.concatenate(b_pix), nb), dtype),
             **common,
         )
     else:
         blk = B.plane_ray_block(
             layout,
-            fixed_dir=jnp.asarray(_pad_rows(np.concatenate(b_dir), nb), dtype),
+            fixed_dir=np.asarray(_pad_rows(np.concatenate(b_dir), nb), dtype),
             **common,
         )
 
     blocks = [blk]
     blocks.append(
         B.downwards_prior_block(
-            layout, jnp.arange(len(quats), dtype=jnp.int32), jnp.asarray(opt, dtype)
+            layout, np.arange(len(quats), dtype=np.int32), np.asarray(opt, dtype)
         )
     )
     if options.ground_mesh:
@@ -709,17 +709,17 @@ def build_mesh_problem(
             blocks.append(
                 B.mesh_flat_block(
                     layout,
-                    jnp.asarray(edges_all[:, 0], jnp.int32),
-                    jnp.asarray(edges_all[:, 1], jnp.int32),
-                    jnp.ones(len(edges_all), dtype),
+                    np.asarray(edges_all[:, 0], np.int32),
+                    np.asarray(edges_all[:, 1], np.int32),
+                    np.ones(len(edges_all), dtype),
                 )
             )
         blocks.append(
             B.mesh_anchor_block(
                 layout,
-                jnp.arange(mesh.num_vertices, dtype=jnp.int32),
-                jnp.asarray(mesh.vertices[:, 2], dtype),
-                jnp.ones(mesh.num_vertices, dtype),
+                np.arange(mesh.num_vertices, dtype=np.int32),
+                np.asarray(mesh.vertices[:, 2], dtype),
+                np.ones(mesh.num_vertices, dtype),
             )
         )
         interior, opposite, _ = mesh.interior_edges()
@@ -728,15 +728,15 @@ def build_mesh_problem(
             blocks.append(
                 B.mesh_smooth_block(
                     layout,
-                    jnp.asarray(interior[:, 0], jnp.int32),
-                    jnp.asarray(interior[:, 1], jnp.int32),
-                    jnp.asarray(opposite[:, 0], jnp.int32),
-                    jnp.asarray(opposite[:, 1], jnp.int32),
-                    jnp.asarray(v[interior[:, 0], :2], dtype),
-                    jnp.asarray(v[interior[:, 1], :2], dtype),
-                    jnp.asarray(v[opposite[:, 0], :2], dtype),
-                    jnp.asarray(v[opposite[:, 1], :2], dtype),
-                    jnp.ones(len(interior), dtype),
+                    np.asarray(interior[:, 0], np.int32),
+                    np.asarray(interior[:, 1], np.int32),
+                    np.asarray(opposite[:, 0], np.int32),
+                    np.asarray(opposite[:, 1], np.int32),
+                    np.asarray(v[interior[:, 0], :2], dtype),
+                    np.asarray(v[interior[:, 1], :2], dtype),
+                    np.asarray(v[opposite[:, 0], :2], dtype),
+                    np.asarray(v[opposite[:, 1], :2], dtype),
+                    np.ones(len(interior), dtype),
                 )
             )
     if use_intrinsics and inv_models:
@@ -758,23 +758,23 @@ def build_mesh_problem(
             w_tier = 1.0 if options.radial_tier > 0 else 0.0
             blocks.append(
                 B.monotonicity_block(
-                    layout, jnp.asarray(midx, jnp.int32),
-                    jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
-                    jnp.full(len(midx), w_tier, dtype),
+                    layout, np.asarray(midx, np.int32),
+                    np.asarray(r_max, dtype), np.asarray(obs_w, dtype),
+                    np.full(len(midx), w_tier, dtype),
                 )
             )
 
     _pm_stack.__exit__()
-    mesh_free = jnp.arange(V_pad) < V_real  # padded slots frozen
+    mesh_free = np.arange(V_pad) < V_real  # padded slots frozen
     free = layout.build_free_mask(
-        rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
+        rot_free=np.asarray(opt) if options.orientation else np.zeros(len(quats), bool),
         mesh_free=mesh_free,
         focal_free=options.focal,
         principal_free=options.principal,
         radial_tiers=options.radial_tier,
     )
     surface_free = layout.build_free_mask(
-        rot_free=jnp.zeros(len(quats), bool), mesh_free=mesh_free
+        rot_free=np.zeros(len(quats), bool), mesh_free=mesh_free
     )
     return BuiltProblem(
         params=params, layout=layout, blocks=blocks, free_mask=free,
@@ -883,9 +883,9 @@ def build_points_problem(
     P_count = len(pts_list)
     layout = TangentLayout(len(quats), 0, P_count, M_count)
     params = RelaxParams.create(
-        jnp.asarray(quats, dtype), jnp.asarray(positions, dtype),
-        points=jnp.asarray(np.stack(pts_list), dtype),
-        focal=jnp.asarray([float(m.focal_length_pixels) for m in fwd_list], dtype),
+        np.asarray(quats, dtype), np.asarray(positions, dtype),
+        points=np.asarray(np.stack(pts_list), dtype),
+        focal=np.asarray([float(m.focal_length_pixels) for m in fwd_list], dtype),
         principal=jnp.asarray(
             np.stack([np.asarray(m.principal_point) for m in fwd_list]), dtype
         ),
@@ -900,11 +900,11 @@ def build_points_problem(
     nb = _bucket(len(obs["cam_i"]), minimum=64)
     blk = B.pixel_error_block(
         layout,
-        jnp.asarray(_pad_rows(np.asarray(obs["cam_i"], np.int32), nb), jnp.int32),
-        jnp.asarray(_pad_rows(np.asarray(obs["point_i"], np.int32), nb), jnp.int32),
-        jnp.asarray(_pad_rows(np.asarray(obs["model_i"], np.int32), nb), jnp.int32),
-        jnp.asarray(_pad_rows(np.stack(obs["pixel"]), nb), dtype),
-        jnp.asarray(_pad_rows(np.ones(len(obs["cam_i"])), nb), dtype),
+        _pad_rows(np.asarray(obs["cam_i"], np.int32), nb),
+        _pad_rows(np.asarray(obs["point_i"], np.int32), nb),
+        _pad_rows(np.asarray(obs["model_i"], np.int32), nb),
+        np.asarray(_pad_rows(np.stack(obs["pixel"]), nb), dtype),
+        np.asarray(_pad_rows(np.ones(len(obs["cam_i"])), nb), dtype),
     )
     blocks = [blk]
 
@@ -920,14 +920,14 @@ def build_points_problem(
         w_tier = 1.0 if options.radial_tier > 0 else 0.0
         blocks.append(
             B.monotonicity_block(
-                layout, jnp.asarray(midx, jnp.int32),
-                jnp.asarray(r_max, dtype), jnp.asarray(obs_w, dtype),
-                jnp.full(len(midx), w_tier, dtype),
+                layout, np.asarray(midx, np.int32),
+                np.asarray(r_max, dtype), np.asarray(obs_w, dtype),
+                np.full(len(midx), w_tier, dtype),
             )
         )
 
     free = layout.build_free_mask(
-        rot_free=jnp.asarray(opt) if options.orientation else jnp.zeros(len(quats), bool),
+        rot_free=np.asarray(opt) if options.orientation else np.zeros(len(quats), bool),
         points_free=True,
         focal_free=options.focal,
         principal_free=options.principal,
@@ -935,7 +935,7 @@ def build_points_problem(
         tangential_free=options.tangential,
     )
     surface_free = layout.build_free_mask(
-        rot_free=jnp.zeros(len(quats), bool), points_free=True
+        rot_free=np.zeros(len(quats), bool), points_free=True
     )
     return BuiltProblem(
         params=params, layout=layout, blocks=blocks, free_mask=free,
@@ -1041,16 +1041,16 @@ def refresh_problem(
     # in the mask, not the block structure)
     layout = built.layout
     opt = np.arange(C) < built.num_opt
-    rot_free = jnp.asarray(opt) if options.orientation else jnp.zeros(C, bool)
+    rot_free = np.asarray(opt) if options.orientation else np.zeros(C, bool)
     if built.kind == "mesh":
-        mesh_free = jnp.arange(layout.V) < built.v_real
+        mesh_free = np.arange(layout.V) < built.v_real
         built.free_mask = layout.build_free_mask(
             rot_free=rot_free, mesh_free=mesh_free,
             focal_free=options.focal, principal_free=options.principal,
             radial_tiers=options.radial_tier,
         )
         built.surface_free_mask = layout.build_free_mask(
-            rot_free=jnp.zeros(C, bool), mesh_free=mesh_free
+            rot_free=np.zeros(C, bool), mesh_free=mesh_free
         )
     elif built.kind == "points":
         built.free_mask = layout.build_free_mask(
@@ -1060,7 +1060,7 @@ def refresh_problem(
             tangential_free=options.tangential,
         )
         built.surface_free_mask = layout.build_free_mask(
-            rot_free=jnp.zeros(C, bool), points_free=True
+            rot_free=np.zeros(C, bool), points_free=True
         )
 
     # the anchor prior follows the pass-entry mesh (the reference rebuilds
@@ -1068,7 +1068,7 @@ def refresh_problem(
     mid_of_slot = {slot: mid for mid, slot in built.model_index.items()}
     for i, blk in enumerate(built.blocks):
         if blk.name == "mesh_anchor":
-            z_now = jnp.asarray(
+            z_now = np.asarray(
                 built.mesh.vertices[np.asarray(blk.data["v_i"]), 2], dt
             )
             data = dict(blk.data)
@@ -1087,11 +1087,11 @@ def refresh_problem(
                     ) / 2.0
                     r_max[r] = half / max(float(m.focal_length_pixels), 1.0)
             data = dict(blk.data)
-            data["r_max"] = jnp.asarray(r_max, dt)
+            data["r_max"] = np.asarray(r_max, dt)
             built.blocks[i] = dataclasses.replace(
                 blk,
                 data=data,
-                weight=jnp.full_like(jnp.asarray(blk.weight), w_tier),
+                weight=np.full_like(np.asarray(blk.weight), w_tier),
             )
     return True
 
@@ -1162,12 +1162,12 @@ def apply_solution(
             else:
                 # points problems optimize the forward models directly
                 cam_models[mid] = old.replace(
-                    focal_length_pixels=jnp.asarray(
+                    focal_length_pixels=np.asarray(
                         params.focal[slot], old.dtype
                     ),
-                    principal_point=jnp.asarray(params.principal[slot], old.dtype),
-                    radial_distortion=jnp.asarray(params.radial[slot], old.dtype),
-                    tangential_distortion=jnp.asarray(
+                    principal_point=np.asarray(params.principal[slot], old.dtype),
+                    radial_distortion=np.asarray(params.radial[slot], old.dtype),
+                    tangential_distortion=np.asarray(
                         params.tangential[slot], old.dtype
                     ),
                 )

@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from opencalibration_tpu.ops.quaternion import quat_boxplus, quat_normalize
 
@@ -71,17 +72,25 @@ class RelaxParams:
     @staticmethod
     def create(quats, positions, mesh_z=None, points=None, focal=None,
                principal=None, radial=None, tangential=None, dtype=None):
-        quats = jnp.asarray(quats)
+        # numpy leaves for host callers (problem builders create params
+        # every pipeline iterate; eager jnp.asarray-with-dtype costs an
+        # XLA convert compile per new shape), jnp under tracing
+        xp = jnp if any(
+            isinstance(x, (jax.core.Tracer, jax.Array))
+            for x in (quats, positions, mesh_z, points, focal, principal,
+                      radial, tangential)
+        ) else np
+        quats = xp.asarray(quats)
         dtype = dtype or quats.dtype
         C = quats.shape[0]
 
         def arr(x, shape):
-            return jnp.zeros(shape, dtype) if x is None else jnp.asarray(x, dtype)
+            return xp.zeros(shape, dtype) if x is None else xp.asarray(x, dtype)
 
-        M = 1 if focal is None else jnp.asarray(focal).shape[0]
+        M = 1 if focal is None else xp.asarray(focal).shape[0]
         return RelaxParams(
-            quats=jnp.asarray(quats, dtype),
-            positions=jnp.asarray(positions, dtype),
+            quats=xp.asarray(quats, dtype),
+            positions=xp.asarray(positions, dtype),
             mesh_z=arr(mesh_z, (0,)),
             points=arr(points, (0, 3)),
             focal=arr(focal, (M,)),
@@ -124,26 +133,30 @@ class TangentLayout:
         return TangentLayout(p.C, p.V, p.P, p.M)
 
     # --- slot helpers (index arrays, work on traced cam/vertex ids) ---
+    # np.arange constants: with traced ids the add stays a traced jnp op,
+    # with concrete numpy ids the whole helper is pure numpy — host-path
+    # callers (problem builders) otherwise pay an eager-XLA compile per
+    # new id-array shape, every pipeline iterate at 10k scale
     def rot_slots(self, cam_idx):
-        return self.rot_off + 3 * cam_idx[..., None] + jnp.arange(3)
+        return self.rot_off + 3 * cam_idx[..., None] + np.arange(3)
 
     def mesh_slot(self, v_idx):
         return self.mesh_off + v_idx[..., None]
 
     def point_slots(self, p_idx):
-        return self.point_off + 3 * p_idx[..., None] + jnp.arange(3)
+        return self.point_off + 3 * p_idx[..., None] + np.arange(3)
 
     def focal_slot(self, m_idx):
         return self.focal_off + m_idx[..., None]
 
     def principal_slots(self, m_idx):
-        return self.principal_off + 2 * m_idx[..., None] + jnp.arange(2)
+        return self.principal_off + 2 * m_idx[..., None] + np.arange(2)
 
     def radial_slots(self, m_idx):
-        return self.radial_off + 3 * m_idx[..., None] + jnp.arange(3)
+        return self.radial_off + 3 * m_idx[..., None] + np.arange(3)
 
     def tangential_slots(self, m_idx):
-        return self.tangential_off + 2 * m_idx[..., None] + jnp.arange(2)
+        return self.tangential_off + 2 * m_idx[..., None] + np.arange(2)
 
     # --- retraction ---
     def retract(self, p: RelaxParams, delta) -> RelaxParams:
@@ -192,19 +205,24 @@ class TangentLayout:
         """Tangent mask: True = optimized. radial_tiers maps to the
         reference's Brown2/24/246 subset manifolds
         (relax_problem.cpp:21-23: subsets freeze trailing coefficients)."""
+        # pure numpy: this runs on HOST problem-build paths with concrete
+        # inputs, and eager jnp here costs an XLA compile per new (C, V,
+        # P, M) shape — at 10k scale that is fresh remote compiles every
+        # pipeline iterate (the mask is handed to jit as an argument, so
+        # numpy is equivalent)
         C, V, P, M = self.C, self.V, self.P, self.M
         rot = (
-            jnp.ones((C, 3), bool)
+            np.ones((C, 3), bool)
             if rot_free is None
-            else jnp.broadcast_to(jnp.asarray(rot_free)[:, None], (C, 3))
+            else np.broadcast_to(np.asarray(rot_free)[:, None], (C, 3))
         )
-        mesh = jnp.broadcast_to(jnp.asarray(mesh_free), (V,))
-        pts = jnp.broadcast_to(jnp.asarray(points_free), (P, 3))
-        foc = jnp.full((M,), focal_free)
-        pp = jnp.full((M, 2), principal_free)
-        rad = jnp.broadcast_to(jnp.arange(3) < radial_tiers, (M, 3))
-        tan = jnp.full((M, 2), tangential_free)
-        return jnp.concatenate(
+        mesh = np.broadcast_to(np.asarray(mesh_free), (V,))
+        pts = np.broadcast_to(np.asarray(points_free), (P, 3))
+        foc = np.full((M,), focal_free)
+        pp = np.full((M, 2), principal_free)
+        rad = np.broadcast_to(np.arange(3) < radial_tiers, (M, 3))
+        tan = np.full((M, 2), tangential_free)
+        return np.concatenate(
             [
                 rot.reshape(-1),
                 mesh.reshape(-1),

@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FORWARD = "forward"
 INVERSE = "inverse"
@@ -92,13 +93,24 @@ class CameraModel:
 
 
 def stack_cameras(models: list[CameraModel]) -> CameraModel:
-    """Stack N single cameras into one batched CameraModel pytree."""
+    """Stack N single cameras into one batched CameraModel pytree.
+
+    Host callers (problem builders, ortho, tracks) pass concrete leaves;
+    numpy-stack those — an eager jnp.stack costs an XLA compile per new
+    batch size, which at 10k scale recurs every pipeline iterate. Traced
+    leaves (inside jit) keep the jnp path."""
     if not models:
         raise ValueError("need at least one camera")
     tag = models[0].tag
     if any(m.tag != tag for m in models):
         raise ValueError("cannot stack FORWARD and INVERSE cameras")
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+    traced = any(
+        isinstance(leaf, jax.core.Tracer)
+        for m in models
+        for leaf in jax.tree.leaves(m)
+    )
+    stack = jnp.stack if traced else (lambda xs: np.stack([np.asarray(x) for x in xs]))
+    return jax.tree.map(lambda *xs: stack(xs), *models)
 
 
 def take_camera(models: CameraModel, i) -> CameraModel:

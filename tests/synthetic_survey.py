@@ -69,8 +69,44 @@ def camera_grid(rows, cols, spacing=15.0, seed=1, alt_pattern="row"):
     return np.asarray(positions), np.stack(quats)
 
 
+def _render_device():
+    """Device the synthetic renderer runs on. Default: host CPU.
+
+    The render is test scaffolding (0.08 s/img on one host core), but its
+    OUTPUT is bulk pixels: rendering on a tunneled remote device means
+    pulling the full survey back through the link's downlink — measured
+    1.9 MB/s on 2026-08-20, i.e. ~3 h for the 10k survey's uint8 frames
+    vs ~15 min rendered host-side. OC_TPU_SURVEY_RENDER=device restores
+    device rendering (sensible on local hardware where the pull is PCIe).
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("OC_TPU_SURVEY_RENDER", "cpu") == "cpu":
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+    return None
+
+
 def render_views(tex, positions, quats, ground_extent=150.0,
                  relief_amplitude=0.0, relief_wavelength=70.0):
+    views = []
+    for _, chunk_imgs in iter_render_views(
+        tex, positions, quats, ground_extent=ground_extent,
+        relief_amplitude=relief_amplitude,
+        relief_wavelength=relief_wavelength,
+    ):
+        views.extend(chunk_imgs[i] for i in range(chunk_imgs.shape[0]))
+    return views
+
+
+def iter_render_views(tex, positions, quats, ground_extent=150.0,
+                      relief_amplitude=0.0, relief_wavelength=70.0):
+    """Yield (start_index, [chunk, H, W] float32) without holding the whole
+    survey in memory (10k surveys are ~77 GB of float32 frames)."""
     import functools
 
     import jax
@@ -122,21 +158,24 @@ def render_views(tex, positions, quats, ground_extent=150.0,
 
     # chunk the vmap so 1k-image benchmark surveys don't hold every
     # intermediate ray buffer at once
-    views = []
     chunk = 64
     # upload the texture ONCE (a fresh jnp.asarray per chunk re-ships the
     # 67 MB texture through the device tunnel every iteration) and pull
     # one device_get per CHUNK (per-image np.asarray(out[i]) costs a
     # tunnel round-trip each, ~35 min for the 10k survey)
-    texj = jnp.asarray(tex)
-    for c0 in range(0, len(positions), chunk):
-        out = np.asarray(render_all(
-            texj,
-            jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
-            jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
-        ))
-        views.extend(out[i] for i in range(out.shape[0]))
-    return views
+    import contextlib
+
+    dev = _render_device()
+    ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+    with ctx:
+        texj = jnp.asarray(tex)
+        for c0 in range(0, len(positions), chunk):
+            out = np.asarray(render_all(
+                texj,
+                jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
+                jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
+            ))
+            yield c0, out
 
 
 def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
@@ -159,29 +198,36 @@ def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
     extent = max(150.0, float(positions[:, :2].max()) + 60.0)
     tex_size = min(4096, max(512, int(extent / 150.0 * 512)))
     tex = make_texture(seed, size=tex_size)
-    views = render_views(tex, positions, quats, ground_extent=extent,
-                         relief_amplitude=relief_amplitude,
-                         relief_wavelength=relief_wavelength)
 
     geo = GeoCoord()
     geo.set_origin(ORIGIN_LAT, ORIGIN_LON)
 
+    # stream: render a chunk, encode it, drop it — a 10k survey's frames
+    # are ~77 GB as float32 and must never be resident at once
     paths = []
-    for i, img in enumerate(views):
-        path = os.path.join(tmpdir, f"IMG_{i:04d}.jpg")
-        cv2.imwrite(path, (img * 255).astype(np.uint8), [cv2.IMWRITE_JPEG_QUALITY, 98])
-        wgs = geo.to_wgs84(positions[i])
-        with open(os.path.splitext(path)[0] + ".json", "w") as f:
-            json.dump(
-                dict(
-                    latitude=float(wgs[0]),
-                    longitude=float(wgs[1]),
-                    altitude=float(positions[i][2]),
-                    focal_length_px=float(focal_px_tag),
-                    camera_make="Synthetic",
-                    camera_model="TestCam",
-                ),
-                f,
-            )
-        paths.append(path)
+    for c0, chunk_imgs in iter_render_views(
+        tex, positions, quats, ground_extent=extent,
+        relief_amplitude=relief_amplitude,
+        relief_wavelength=relief_wavelength,
+    ):
+        for j in range(chunk_imgs.shape[0]):
+            i = c0 + j
+            img = chunk_imgs[j]
+            path = os.path.join(tmpdir, f"IMG_{i:04d}.jpg")
+            cv2.imwrite(path, (img * 255).astype(np.uint8),
+                        [cv2.IMWRITE_JPEG_QUALITY, 98])
+            wgs = geo.to_wgs84(positions[i])
+            with open(os.path.splitext(path)[0] + ".json", "w") as f:
+                json.dump(
+                    dict(
+                        latitude=float(wgs[0]),
+                        longitude=float(wgs[1]),
+                        altitude=float(positions[i][2]),
+                        focal_length_px=float(focal_px_tag),
+                        camera_make="Synthetic",
+                        camera_model="TestCam",
+                    ),
+                    f,
+                )
+            paths.append(path)
     return paths, positions, quats

@@ -218,21 +218,50 @@ def test_batched_blur_matches_incremental_chain():
 
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.random((2, 96, 128)), jnp.float32)
-    base = F._blur(img, F.BASE_SIGMA)
-    rels = [
-        F.BASE_SIGMA * (2.0 ** (s / F.SUBLEVELS)) for s in range(F.SUBLEVELS)
-    ]
-    batched = F._blur_levels(base, F.BASE_SIGMA, rels)
+    # the equivalence under test is the Gaussian-composition MATH; pin
+    # full f32 so operand-storage truncation doesn't widen the bound
+    # (the bf16 deviation has its own bound test below)
+    F.set_blur_precision("f32")
+    try:
+        base = F._blur(img, F.BASE_SIGMA)
+        rels = [
+            F.BASE_SIGMA * (2.0 ** (s / F.SUBLEVELS))
+            for s in range(F.SUBLEVELS)
+        ]
+        batched = F._blur_levels(base, F.BASE_SIGMA, rels)
 
-    cur, cur_rel = base, F.BASE_SIGMA
-    for s, rel in enumerate(rels):
-        if rel > cur_rel:
-            cur = F._blur(cur, math.sqrt(rel * rel - cur_rel * cur_rel))
-            cur_rel = rel
-        # border rows differ by the two paths' different effective kernel
-        # truncation against the edge clamp; the detector excludes a
-        # 16 px border, so equivalence is asserted on the interior
-        diff = float(
-            jnp.max(jnp.abs((batched[s] - cur)[:, 16:-16, 16:-16]))
-        )
-        assert diff < 1e-3, f"sublevel {s}: interior max diff {diff}"
+        cur, cur_rel = base, F.BASE_SIGMA
+        for s, rel in enumerate(rels):
+            if rel > cur_rel:
+                cur = F._blur(cur, math.sqrt(rel * rel - cur_rel * cur_rel))
+                cur_rel = rel
+            # border rows differ by the two paths' different effective
+            # kernel truncation against the edge clamp; the detector
+            # excludes a 16 px border, so equivalence is asserted on the
+            # interior
+            diff = float(
+                jnp.max(jnp.abs((batched[s] - cur)[:, 16:-16, 16:-16]))
+            )
+            assert diff < 1e-3, f"sublevel {s}: interior max diff {diff}"
+    finally:
+        F.set_blur_precision("bf16")
+
+
+def test_bf16_blur_deviation_bounded():
+    """bf16 operand storage (f32 accumulation) stays within a small
+    absolute band of the f32 blur — the fidelity contract behind the
+    default fast path (A/B: bench_blur_precision_ab.py)."""
+    import jax.numpy as jnp
+
+    from opencalibration_tpu.ops import features as F
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((2, 96, 128)), jnp.float32)
+    F.set_blur_precision("f32")
+    try:
+        ref = F._blur(img, 2.0)
+    finally:
+        F.set_blur_precision("bf16")
+    fast = F._blur(img, 2.0)
+    diff = float(jnp.max(jnp.abs(fast - ref)))
+    assert diff < 5e-3, f"bf16 blur deviates {diff} from f32"

@@ -328,7 +328,14 @@ def test_single_device_serial_matches_batched(
     qa = np.asarray(s_all.quats)
     qb = np.asarray(s_one.quats)
     flip = np.sign(np.sum(qa * qb, axis=-1, keepdims=True))
-    np.testing.assert_allclose(qb * flip, qa, atol=1e-6)
+    # the two paths run DIFFERENT XLA programs (sharded lanes vs
+    # bucket-padded serial dispatch): reduction orders differ, and over
+    # 40 gain-ratio LM iterations the float drift is a few 1e-5 in quat
+    # components (~0.005 deg) depending on the fixture data. 1e-4 keeps
+    # the check tight enough to catch any real dispatch-path logic bug
+    # (frozen-pad leaks etc. produce >1e-2) without pinning bitwise
+    # accumulation order.
+    np.testing.assert_allclose(qb * flip, qa, atol=1e-4)
 
 
 def test_chunked_dispatch_matches_unchunked(monkeypatch):
