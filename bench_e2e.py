@@ -239,7 +239,7 @@ def _run_config_impl(n_images: int, batch_size: int,
         t1 = time.perf_counter()
         nc0 = _n_compiles()
         state = p.iterate_once()
-        if cur != prev or (it and it % 10 == 0):
+        if cur != prev or (it and it % 3 == 0):
             # cumulative counter table at every state boundary AND every
             # 10 iterates so a crashed/killed at-scale run (10k) still
             # leaves per-measure attribution data
