@@ -167,15 +167,32 @@ def iter_render_views(tex, positions, quats, ground_extent=150.0,
 
     dev = _render_device()
     ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
-    with ctx:
-        texj = jnp.asarray(tex)
-        for c0 in range(0, len(positions), chunk):
-            out = np.asarray(render_all(
-                texj,
-                jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
-                jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
-            ))
-            yield c0, out
+    # the persistent compilation cache partitions by PROCESS env, not by
+    # backend: CPU-backend renders inside a TPU process would write/load
+    # XLA:CPU AOT entries in the TPU partition — machine-feature-stamped
+    # artifacts whose reload risks SIGILL (observed loader feature-
+    # mismatch errors). Suspend the cache for the render's compiles.
+    cache_dir = None
+    if dev is not None and dev.platform == "cpu":
+        try:
+            cache_dir = jax.config.jax_compilation_cache_dir
+            if cache_dir:
+                jax.config.update("jax_compilation_cache_dir", None)
+        except AttributeError:
+            cache_dir = None
+    try:
+        with ctx:
+            texj = jnp.asarray(tex)
+            for c0 in range(0, len(positions), chunk):
+                out = np.asarray(render_all(
+                    texj,
+                    jnp.asarray(quats[c0 : c0 + chunk], jnp.float32),
+                    jnp.asarray(positions[c0 : c0 + chunk], jnp.float32),
+                ))
+                yield c0, out
+    finally:
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
 def write_survey(tmpdir, rows=2, cols=3, spacing=15.0, seed=0,
